@@ -1,0 +1,51 @@
+"""1D prefix search vs enumeration oracle (reference tests/test_prefix.py:65-83)."""
+import numpy as np
+import pytest
+
+from poreover_tpu.ops.prefix import prefix_search_log
+from oracles import CTCProfile
+
+
+def test_prefix_search_toy():
+    y = np.array([[0.8, 0.1, 0.1], [0.1, 0.3, 0.6], [0.7, 0.2, 0.1], [0.1, 0.1, 0.8]])
+    prof = CTCProfile(y, ("A", "B", ""))
+    label, prob = prefix_search_log(np.log(y), alphabet="AB")
+    expect_label, expect_prob = prof.top_label()
+    assert label == expect_label
+    assert np.isclose(prob, np.log(expect_prob))
+
+
+def test_prefix_search_random_profiles():
+    rng = np.random.default_rng(21)
+    hits = 0
+    for _ in range(10):
+        y = rng.random((5, 3))
+        y = y / y.sum(axis=1, keepdims=True)
+        prof = CTCProfile(y, ("A", "B", ""))
+        label, prob = prefix_search_log(np.log(y), alphabet="AB")
+        expect_label, expect_prob = prof.top_label()
+        # prefix search is exact for the top label
+        assert label == expect_label, (label, expect_label)
+        assert np.isclose(prob, np.log(expect_prob))
+        hits += 1
+    assert hits == 10
+
+
+def test_prefix_search_gap_dominant():
+    """All-gap profile: empty label wins."""
+    y = np.array([[0.05, 0.05, 0.9]] * 4)
+    label, prob = prefix_search_log(np.log(y), alphabet="AB")
+    assert label == ""
+    assert np.isclose(prob, 4 * np.log(0.9))
+
+
+def test_prefix_search_real_window():
+    from poreover_tpu.io.trace import model_from_trace
+    from poreover_tpu.ops import forward as fwd
+
+    model = model_from_trace("/root/reference/tests/poreover.csv")
+    y = model.log_prob[:100]
+    label, prob = prefix_search_log(y)
+    assert set(label) <= set("ACGT")
+    # returned prob must equal the label's forward probability
+    assert np.isclose(prob, fwd.forward(y, label, model="ctc"))

@@ -1,0 +1,90 @@
+"""ctypes bindings for the native host runtime (native/poreover_native.cpp).
+
+Builds on demand with the repo Makefile if the shared library is missing.
+A pure-numpy fallback with identical semantics exists in
+``poreover_tpu.ops.nw`` for environments without a C++ toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libporeover_native.so"
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.nw_global_pair.restype = ctypes.c_int
+    lib.nw_global_pair.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.nw_global_pair_banded.restype = ctypes.c_int
+    lib.nw_global_pair_banded.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    _lib = lib
+    return _lib
+
+
+def global_pair(seq1: str, seq2: str, match=2, mismatch=-1, gap_cost=-1):
+    lib = load()
+    if lib is None:
+        from .ops.nw import global_pair_py
+
+        return global_pair_py(seq1, seq2, match, mismatch, gap_cost)
+    buflen = len(seq1) + len(seq2) + 1
+    out1 = ctypes.create_string_buffer(buflen)
+    out2 = ctypes.create_string_buffer(buflen)
+    n = lib.nw_global_pair(
+        seq1.encode(), len(seq1), seq2.encode(), len(seq2),
+        match, mismatch, gap_cost, out1, out2,
+    )
+    return out1.value[:n].decode(), out2.value[:n].decode()
+
+
+def global_pair_banded(
+    seq1: str, seq2: str, band_width=500, match=2, mismatch=-1, gap_cost=-1
+):
+    lib = load()
+    if lib is None:
+        from .ops.nw import global_pair_banded_py
+
+        return global_pair_banded_py(seq1, seq2, band_width, match, mismatch, gap_cost)
+    buflen = len(seq1) + len(seq2) + 1
+    out1 = ctypes.create_string_buffer(buflen)
+    out2 = ctypes.create_string_buffer(buflen)
+    n = lib.nw_global_pair_banded(
+        seq1.encode(), len(seq1), seq2.encode(), len(seq2),
+        band_width, match, mismatch, gap_cost, out1, out2,
+    )
+    return out1.value[:n].decode(), out2.value[:n].decode()

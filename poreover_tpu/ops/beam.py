@@ -53,13 +53,17 @@ def _score(state):
     return jnp.logaddexp(state[..., 0], state[..., 1])
 
 
-def _node_update(model_id: int, state_prev, parent_prev, c, parent_c, y_t, A: int):
+def _node_update(model_id: int, state_prev, parent_prev, c, parent_c, y_t, A: int,
+                 root_start=False):
     """One node's state update at time t.
 
     state_prev  [..., 2] : this node's state at t-1 (-inf,-inf if absent)
     parent_prev [..., 2] : parent node's state at t-1
     c, parent_c [...]    : last characters of node and parent
     y_t         [S]      : log-prob row at time t
+    root_start  [...]    : parent is the root AND t == 0 — the reference's
+        special case (PrefixTree.h:554-556/606-608) which, for flipflop,
+        additionally allows a FLOP start: emit_flop = y[0][c+A].
     """
     y_c = y_t[c]
     s0, s1 = state_prev[..., 0], state_prev[..., 1]
@@ -81,6 +85,7 @@ def _node_update(model_id: int, state_prev, parent_prev, c, parent_c, y_t, A: in
         y_cf = y_t[c + A]
         emit_flip = jnp.where(same, p1, parent_total) + y_c
         emit_flop = jnp.where(same, p0 + y_cf, _NEG_INF)
+        emit_flop = jnp.where(root_start, y_cf, emit_flop)
         new0 = jnp.logaddexp(emit_flip, s0 + y_c)
         new1 = jnp.logaddexp(emit_flop, s1 + y_cf)
     return jnp.stack([new0, new1], axis=-1)

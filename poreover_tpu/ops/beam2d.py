@@ -1,0 +1,472 @@
+"""Vectorized 2D pair-consensus beam search (TPU-native).
+
+Re-architecture of the reference's 2D beam search
+(poreover/decoding/BeamSearch.h:110-397 over the 2D prefix trees in
+PrefixTree.h:492-706). A 2D node scores a label prefix against BOTH reads:
+per read it carries a CTC forward value along that read's time axis, and the
+beam is pruned on combined scores (Beam.h:20-38 comparators).
+
+Key re-design (same spirit as ops/beam.py): the pointer trie with per-node
+(read, t)-keyed hashmaps becomes a fixed-shape candidate table. Each node
+carries
+  - state0 [2]        : read-0 model state at the current row u
+  - sweep1 [2, Wb]    : read-1 model state over the current envelope row
+                        [row_start, row_end), refreshed every u iteration
+                        exactly as the reference's per-row v-loop does
+                        (BeamSearch.h:146-156).
+The within-row v-recursion couples a node to its parent's sweep, so nodes
+are processed in topological layers of the parent forest; for a node whose
+parent sweep is known, its own sweep has a *closed form* — a cumulative
+logsumexp scan (associative_scan) — so each layer is O(C * Wb) vector work
+with log-depth scans, no per-v sequential loop.
+
+Pruning scores (by-row traversal): last-prob(read0) + max over the row of
+prob(read1), with the max reset at each row start (node_greater_max,
+Beam.h:20-28; reset_max at BeamSearch.h:150-152).
+
+Staleness semantics: in the reference, a pruned parent's last-swept read-1
+values persist in its hashmap and surviving children keep reading them
+(PrefixTree.h probability_at). We reproduce this by giving every candidate a
+frozen copy of its parent's most recent sweep (``psweep1`` + window offset),
+refreshed whenever the parent is itself in the candidate set. (The C++ also
+retains values from even older sweeps at window positions later sweeps no
+longer cover; those pre-window cells read -inf here.)
+
+Known divergence: while the beam is still smaller than beam_width (the first
+~log_A(W) iterations), the reference's u-phase ``for b < beam_width`` loop
+walks into children pushed during the same loop, cascading expansion to
+deeper prefixes (BeamSearch.h:132). We expand one level per iteration; the
+affected deep-early prefixes are far off the probability lead on real reads.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logspace import LOG_0
+from .beam import _MODEL_IDS, _child_keys, _dedup_mask
+
+_NEG_INF = LOG_0
+
+
+# --------------------------------------------------------------------------
+# closed-form model sweeps
+# --------------------------------------------------------------------------
+
+def _cumlse_chain(E, weights, seed):
+    """p(w) = lse(E(w), p(w-1) + weights(w)), p(-1) = seed, vectorized.
+
+    E [..., Wb], weights [..., Wb] (log multipliers of the stay chain),
+    seed [...]. Returns p [..., Wb]. Closed form:
+      p(w) = cw(w) + cumlse( concat(seed - cw(-1)=seed, E(w') - cw(w')) )
+    with cw = inclusive cumsum of weights.
+    """
+    cw = jnp.cumsum(weights, axis=-1)
+    body = jnp.concatenate([seed[..., None], E - cw], axis=-1)
+    acc = jax.lax.associative_scan(jnp.logaddexp, body, axis=-1)[..., 1:]
+    return acc + cw
+
+
+def _sweep_node_states(model_id: int, parent_ext, seed_self, y_w, c_emit, c_emit2,
+                       same, gap_w, in_range, root_start_w=False):
+    """Closed-form window sweep for every candidate at once.
+
+    parent_ext [C, 2, Wb+1] parent values at v-1 (slot 0 = seed column)
+    seed_self  [C, 2]       own stale value at row_start-1
+    c_emit     [C, Wb]      y2[v, char] over the window
+    c_emit2    [C, Wb]      y2[v, char+A] (flipflop flop emissions; unused else)
+    same       [C]          char == parent char
+    gap_w      [C, Wb]      y2[v, gap] over the window (masked to 0 out of range)
+    in_range   [C, Wb]      window-cell validity
+    Returns new sweep [C, 2, Wb].
+    """
+    p0 = parent_ext[:, 0, :-1]  # parent state comp0 at v-1, [C, Wb]
+    p1 = parent_ext[:, 1, :-1]
+    p_tot = jnp.logaddexp(p0, p1)
+
+    if model_id == 0:  # ctc: single component, stay weight = gap
+        E = jnp.where(in_range, p_tot + c_emit, _NEG_INF)
+        out0 = _cumlse_chain(E, gap_w, seed_self[:, 0])
+        out1 = jnp.full_like(out0, _NEG_INF)
+    elif model_id == 1:  # bonito: (gap, no_gap)
+        src = jnp.where(same[:, None], p0, p_tot)
+        # no_gap chain: weight y2[v,c] on both terms
+        ce = jnp.where(in_range, c_emit, 0.0)
+        Eng = jnp.where(in_range, src, _NEG_INF)  # enters with +ce via weights
+        # no_gap(w) = lse(src(w-1)+ce(w), no_gap(w-1)+ce(w))
+        #           = ce-chain with E = src(w-1) + ce(w)
+        out_ng = _cumlse_chain(
+            jnp.where(in_range, src + ce, _NEG_INF), ce, seed_self[:, 1]
+        )
+        # total chain: total(w) = lse(no_gap(w), total(w-1) + gap(w))
+        seed_tot = jnp.logaddexp(seed_self[:, 0], seed_self[:, 1])
+        tot = _cumlse_chain(jnp.where(in_range, out_ng, _NEG_INF), gap_w, seed_tot)
+        # gap(w) = total(w-1) + gap_w(w)
+        tot_prev = jnp.concatenate([seed_tot[:, None], tot[:, :-1]], axis=-1)
+        out0 = jnp.where(in_range, tot_prev + gap_w, _NEG_INF)
+        out1 = out_ng
+    else:  # flipflop: (flip, flop); stay weights are the emissions themselves
+        ce = jnp.where(in_range, c_emit, 0.0)
+        cf = jnp.where(in_range, c_emit2, 0.0)
+        emit_flip = jnp.where(same[:, None], p1, p_tot) + ce
+        emit_flop = jnp.where(same[:, None], p0 + cf, _NEG_INF)
+        # root special case at t==0 additionally allows a flop start
+        # (PrefixTree.h:606-608)
+        emit_flop = jnp.where(root_start_w, cf, emit_flop)
+        out0 = _cumlse_chain(jnp.where(in_range, emit_flip, _NEG_INF), ce,
+                             seed_self[:, 0])
+        out1 = _cumlse_chain(jnp.where(in_range, emit_flop, _NEG_INF), cf,
+                             seed_self[:, 1])
+    out = jnp.stack([out0, out1], axis=1)  # [C, 2, Wb]
+    return jnp.where(in_range[:, None, :], out, _NEG_INF)
+
+
+def _lookup_idx(qk1, qk2, tk1, tk2, tvalid):
+    """First matching row index for each query key; -1 when absent."""
+    eq = (qk1[:, None] == tk1[None, :]) & (qk2[:, None] == tk2[None, :])
+    eq = eq & tvalid[None, :]
+    found = jnp.any(eq, axis=1)
+    idx = jnp.argmax(eq, axis=1)
+    return jnp.where(found, idx, -1)
+
+
+def _root_ext(model_id: int, rs, Wb: int, cum_gap_pad, dtype, pad: int):
+    """Root node's read-state at positions v = rs-1 .. rs+Wb-1, [2, Wb+1].
+
+    ctc 2D roots hold cumulative blank mass at every t and 0 at t=-1
+    (PrefixTree.h:499-515); bonito/flipflop roots only hold t=-1
+    (PrefixTree.h:585-598, :674-688).
+    """
+    k = jnp.arange(Wb + 1)
+    v = rs - 1 + k
+    if model_id == 0:
+        # cum_gap_pad[pad + t] = cumsum through t; t=-1 -> 0 (pad zeros)
+        vals = jax.lax.dynamic_slice(cum_gap_pad, (rs - 1 + pad,), (Wb + 1,))
+        comp0 = jnp.where(v >= -1, vals, _NEG_INF)
+        comp1 = jnp.full((Wb + 1,), _NEG_INF, dtype)
+    elif model_id == 1:
+        comp0 = jnp.where(v == -1, 0.0, _NEG_INF).astype(dtype)  # gap part
+        comp1 = jnp.full((Wb + 1,), _NEG_INF, dtype)
+    else:
+        lh = jnp.asarray(np.log(0.5), dtype)
+        comp0 = jnp.where(v == -1, lh, _NEG_INF).astype(dtype)
+        comp1 = jnp.where(v == -1, lh, _NEG_INF).astype(dtype)
+    return jnp.stack([comp0, comp1])
+
+
+def _shift_window(vec, prev_off, new_off, Wb: int, extra: int = 1):
+    """Re-window [*, Wb] stale values from [prev_off, prev_off+Wb) to
+    positions new_off-extra .. new_off+Wb-1 -> [*, Wb+extra]."""
+    lead = vec.shape[:-1]
+    pad = Wb + extra + 1
+    padded = jnp.concatenate(
+        [
+            jnp.full(lead + (pad,), _NEG_INF, vec.dtype),
+            vec,
+            jnp.full(lead + (pad,), _NEG_INF, vec.dtype),
+        ],
+        axis=-1,
+    )
+    start = new_off - extra - prev_off + pad
+    return jax.lax.dynamic_slice_in_dim(padded, start, Wb + extra, axis=-1)
+
+
+def _beam2d_row_iteration(model_id, W, A, Wb, cand, inp, consts):
+    """One u iteration of by-row 2D beam search. Returns (new_cand, beam_src)."""
+    C = W * (A + 1)
+    u, rs, re = inp
+    (y1, y2_pad, cum1_pad, cum2_pad, pad) = consts
+    dtype = y1.dtype
+
+    # ---- dedup + prune on carried scores ----
+    keep = _dedup_mask(cand["k1"], cand["k2"], cand["valid"])
+    scores = jnp.where(keep, cand["score"], _NEG_INF)
+    _, beam_src = jax.lax.top_k(scores, W)
+    g = lambda name: cand[name][beam_src]
+    bk1, bk2, bpk1, bpk2 = g("k1"), g("k2"), g("pk1"), g("pk2")
+    bchar, bpchar = g("char"), g("pchar")
+    bvalid = keep[beam_src]
+    bstate0 = cand["state0"][beam_src]
+    bsweep1 = cand["sweep1"][beam_src]
+    bpsweep1 = cand["psweep1"][beam_src]
+    bpoff = cand["poff"][beam_src]
+
+    from .beam import _lookup, _node_update
+
+    # ---- u-phase: advance read-0 state one step (BeamSearch.h:132-144) ----
+    y1_u = y1[u]
+    parent0_prev = _lookup(bpk1, bpk2, cand["k1"], cand["k2"], cand["valid"],
+                           cand["state0"])
+    if model_id == 0:
+        root0_prev = jnp.where(u == 0, 0.0, cum1_pad[pad + u - 1]).astype(dtype)
+        is_root = (bpk1 == 0) & (bpk2 == 0) & bvalid
+        root_state = jnp.stack(
+            [jnp.full((W,), root0_prev, dtype), jnp.full((W,), _NEG_INF, dtype)],
+            axis=-1,
+        )
+        parent0_prev = jnp.where(is_root[:, None], root_state, parent0_prev)
+    elif model_id == 1:
+        is_root = (bpk1 == 0) & (bpk2 == 0) & bvalid & (u == 0)
+        root_state = jnp.stack(
+            [jnp.zeros((W,), dtype), jnp.full((W,), _NEG_INF, dtype)], axis=-1
+        )
+        parent0_prev = jnp.where(is_root[:, None], root_state, parent0_prev)
+    else:
+        lh = jnp.asarray(np.log(0.5), dtype)
+        is_root = (bpk1 == 0) & (bpk2 == 0) & bvalid & (u == 0)
+        root_state = jnp.full((W, 2), lh, dtype)
+        parent0_prev = jnp.where(is_root[:, None], root_state, parent0_prev)
+
+    bchar_safe = jnp.maximum(bchar, 0)
+    broot_start = (bpk1 == 0) & (bpk2 == 0) & (u == 0)
+    new_bstate0 = _node_update(model_id, bstate0, parent0_prev, bchar_safe,
+                               bpchar, y1_u, A, root_start=broot_start)
+    new_bstate0 = jnp.where(bvalid[:, None], new_bstate0, _NEG_INF)
+
+    cs = jnp.arange(A, dtype=jnp.int32)
+    cchar = jnp.broadcast_to(cs[None, :], (W, A)).reshape(-1)
+    cp1 = jnp.repeat(bk1, A)
+    cp2 = jnp.repeat(bk2, A)
+    ck1, ck2 = _child_keys(cp1, cp2, cchar)
+    cpchar = jnp.repeat(bchar, A)
+    child0_prev = _lookup(ck1, ck2, cand["k1"], cand["k2"], cand["valid"],
+                          cand["state0"])
+    parent0_for_child = jnp.repeat(bstate0, A, axis=0)
+    new_cstate0 = _node_update(model_id, child0_prev, parent0_for_child, cchar,
+                               cpchar, y1_u, A)
+    cvalid = jnp.repeat(bvalid, A)
+    new_cstate0 = jnp.where(cvalid[:, None], new_cstate0, _NEG_INF)
+
+    nk1 = jnp.concatenate([bk1, ck1])
+    nk2 = jnp.concatenate([bk2, ck2])
+    npk1 = jnp.concatenate([bpk1, cp1])
+    npk2 = jnp.concatenate([bpk2, cp2])
+    nchar = jnp.concatenate([bchar, cchar])
+    npchar = jnp.concatenate([bpchar, cpchar])
+    nvalid = jnp.concatenate([bvalid, cvalid])
+    nstate0 = jnp.concatenate([new_bstate0, new_cstate0])
+
+    # ---- stale read-1 sweeps for the new candidate set ----
+    child_stale_idx = _lookup_idx(ck1, ck2, cand["k1"], cand["k2"], cand["valid"])
+    child_stale = jnp.where(
+        (child_stale_idx >= 0)[:, None, None],
+        cand["sweep1"][jnp.maximum(child_stale_idx, 0)],
+        _NEG_INF,
+    )
+    stale = jnp.concatenate([bsweep1, child_stale])  # [C, 2, Wb]
+    prev_off = cand["off"]
+
+    # frozen parent sweeps: stays keep theirs; children's parents are beam
+    # nodes, so their frozen copy is the parent's previous sweep
+    psweep = jnp.concatenate([bpsweep1, jnp.repeat(bsweep1, A, axis=0)])
+    poff = jnp.concatenate(
+        [bpoff, jnp.full((W * A,), 1, bpoff.dtype) * prev_off]
+    )
+
+    # re-window stale values to [rs-1, rs+Wb-1] -> [C, 2, Wb+1]
+    stale_ext = _shift_window(stale, prev_off, rs, Wb, extra=1)
+    seeds = stale_ext[:, :, 0]  # [C, 2]
+
+    # ---- v-phase: layered closed-form sweep (BeamSearch.h:146-156) ----
+    w_idx = jnp.arange(Wb)
+    v_abs = rs + w_idx
+    in_range_row = v_abs < re  # [Wb]
+    y2_w = jax.lax.dynamic_slice(y2_pad, (rs + pad, 0), (Wb, y2_pad.shape[1]))
+    gap_w = jnp.where(in_range_row, y2_w[:, -1], 0.0)
+
+    nchar_safe = jnp.maximum(nchar, 0)
+    c_emit = y2_w[:, :].T[nchar_safe]  # [C, Wb] emission y2[v, char]
+    if model_id == 2:
+        c_emit2 = y2_w[:, :].T[nchar_safe + A]
+    else:
+        c_emit2 = jnp.zeros_like(c_emit)
+    same = nchar == npchar
+
+    in_range = jnp.broadcast_to(in_range_row[None, :], (C, Wb)) & nvalid[:, None]
+
+    parent_slot = _lookup_idx(npk1, npk2, nk1, nk2, nvalid)
+    is_root_parent = (npk1 == 0) & (npk2 == 0)
+    parent_slot = jnp.where(is_root_parent, -1, parent_slot)
+
+    root_vec = _root_ext(model_id, rs, Wb, cum2_pad, dtype, pad)  # [2, Wb+1]
+    # external parent values: root for depth-1, else the frozen copy of the
+    # parent's last sweep (per-candidate window offset)
+    pstale_ext = jax.vmap(
+        lambda v, po: _shift_window(v, po, rs, Wb, extra=1)
+    )(psweep, poff)
+    parent_ext_external = jnp.where(
+        is_root_parent[:, None, None], root_vec[None], pstale_ext
+    )
+    # flipflop's root special case: window cell at absolute v == 0
+    root_start_w = is_root_parent[:, None] & (v_abs == 0)[None, :]
+
+    def sweep_cond(st):
+        done, _ = st
+        return ~jnp.all(done | ~nvalid)
+
+    def sweep_body(st):
+        done, cur = st  # cur: [C, 2, Wb+1] (slot 0 = seed col)
+        parent_done = jnp.where(parent_slot >= 0, done[jnp.maximum(parent_slot, 0)],
+                                True)
+        ready = ~done & parent_done & nvalid
+        parent_ext = jnp.where(
+            (parent_slot >= 0)[:, None, None],
+            cur[jnp.maximum(parent_slot, 0)],
+            parent_ext_external,
+        )
+        new_sweep = _sweep_node_states(
+            model_id, parent_ext, seeds, y2_w, c_emit, c_emit2, same, gap_w,
+            in_range, root_start_w=root_start_w,
+        )
+        new_cur = jnp.where(
+            ready[:, None, None],
+            jnp.concatenate([seeds[:, :, None], new_sweep], axis=2),
+            cur,
+        )
+        return done | ready, new_cur
+
+    cur0 = jnp.concatenate(
+        [seeds[:, :, None], jnp.full((C, 2, Wb), _NEG_INF, dtype)], axis=2
+    )
+    done0 = jnp.zeros((C,), bool)
+    _, cur_final = jax.lax.while_loop(sweep_cond, sweep_body, (done0, cur0))
+    new_sweep1 = cur_final[:, :, 1:]  # [C, 2, Wb]
+
+    # refresh frozen parent copies where the parent was present this sweep
+    parent_present = parent_slot >= 0
+    new_psweep = jnp.where(
+        parent_present[:, None, None],
+        new_sweep1[jnp.maximum(parent_slot, 0)],
+        psweep,
+    )
+    new_poff = jnp.where(parent_present, rs.astype(poff.dtype), poff)
+
+    # ---- scores: last0 + max over row of read-1 prob (node_greater_max) ----
+    tot1 = jnp.logaddexp(new_sweep1[:, 0, :], new_sweep1[:, 1, :])
+    max1 = jnp.max(jnp.where(in_range, tot1, _NEG_INF), axis=1)
+    last0 = jnp.logaddexp(nstate0[:, 0], nstate0[:, 1])
+    nscore = jnp.where(nvalid, last0 + max1, _NEG_INF)
+
+    new_cand = dict(
+        k1=nk1, k2=nk2, pk1=npk1, pk2=npk2, char=nchar, pchar=npchar,
+        valid=nvalid, state0=nstate0, sweep1=new_sweep1, off=rs, score=nscore,
+        psweep1=new_psweep, poff=new_poff,
+    )
+    return new_cand, beam_src
+
+
+@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wb"))
+def _beam2d_row_scan(y1, y2, us, rss, res, model_id: int, W: int, A: int, Wb: int):
+    """Full by-row 2D beam search. us/rss/res: per-iteration u and row bounds."""
+    C = W * (A + 1)
+    dtype = y1.dtype
+    pad = max(Wb + 2, 2)
+
+    y2_pad = jnp.concatenate(
+        [
+            jnp.full((pad, y2.shape[1]), _NEG_INF, dtype),
+            y2,
+            jnp.full((pad, y2.shape[1]), _NEG_INF, dtype),
+        ]
+    )
+    cum1 = jnp.cumsum(y1[:, -1])
+    cum2 = jnp.cumsum(y2[:, -1])
+    cum1_pad = jnp.concatenate([jnp.zeros((pad,), dtype), cum1,
+                                jnp.full((pad,), _NEG_INF, dtype)])
+    cum2_pad = jnp.concatenate([jnp.zeros((pad,), dtype), cum2,
+                                jnp.full((pad,), _NEG_INF, dtype)])
+    consts = (y1, y2_pad, cum1_pad, cum2_pad, pad)
+
+    # ---- initial candidates: the A root children updated at (0,0),(1,0) ----
+    from .beam import _init_candidates
+
+    start_at_zero = us[0] == 0
+    init1d_0 = _init_candidates(model_id, y1[0], W, A, dtype)
+    init1d_1 = _init_candidates(model_id, y2[0], W, A, dtype)
+    state0_init = jnp.where(
+        start_at_zero, _NEG_INF, init1d_0["state"]
+    )  # u-loop from 0 recomputes u=0 itself; from 1 needs the init value
+    sweep1_init = jnp.full((C, 2, Wb), _NEG_INF, dtype)
+    sweep1_init = sweep1_init.at[:, :, 0].set(init1d_1["state"])
+    cand0 = dict(
+        k1=init1d_0["k1"], k2=init1d_0["k2"], pk1=init1d_0["pk1"],
+        pk2=init1d_0["pk2"], char=init1d_0["char"], pchar=init1d_0["pchar"],
+        valid=init1d_0["valid"], state0=state0_init, sweep1=sweep1_init,
+        off=jnp.asarray(0, rss.dtype),
+        score=jnp.where(init1d_0["valid"], 0.0, _NEG_INF).astype(dtype),
+        psweep1=jnp.full((C, 2, Wb), _NEG_INF, dtype),
+        poff=jnp.zeros((C,), rss.dtype),
+    )
+
+    def step(cand, inp):
+        new_cand, beam_src = _beam2d_row_iteration(model_id, W, A, Wb, cand,
+                                                   inp, consts)
+        return new_cand, beam_src
+
+    final, beam_srcs = jax.lax.scan(step, cand0, (us, rss, res))
+
+    keep = _dedup_mask(final["k1"], final["k2"], final["valid"])
+    scores = jnp.where(keep, final["score"], _NEG_INF)
+    top_idx = jnp.argmax(scores)
+
+    def back(j, src):
+        is_child = j >= W
+        c = jnp.where(is_child, (j - W) % A, -1)
+        b = jnp.where(is_child, (j - W) // A, j)
+        return src[b].astype(j.dtype), c
+
+    j0, chars = jax.lax.scan(back, top_idx, beam_srcs, reverse=True)
+    first_char = jnp.where(j0 >= W, (j0 - W) % A, -1)
+    return first_char, chars
+
+
+def beam_search_2d(
+    y1,
+    y2,
+    envelope=None,
+    beam_width: int = 25,
+    alphabet: str = "ACGT",
+    model: str = "ctc",
+    method: str = "row",
+) -> str:
+    """2D pair beam search (equivalent of cpp_beam_search_2d,
+    decoding_cpp.pyx:107-139).
+
+    envelope: optional [U, 2] int array of per-u [row_start, row_end).
+    """
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    model_id = _MODEL_IDS[model]
+    A = len(alphabet)
+    U, V = len(y1), len(y2)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    if method not in ("row", "row_col"):
+        raise ValueError(f"unsupported 2D beam method {method!r}")
+
+    if method == "row_col":
+        from .beam2d_rowcol import beam_search_2d_row_col
+
+        return beam_search_2d_row_col(y1, y2, envelope, beam_width, alphabet, model)
+
+    if envelope is None:
+        us = np.arange(1, U)
+        rss = np.zeros(U - 1, dtype=np.int64)
+        res = np.full(U - 1, V, dtype=np.int64)
+    else:
+        env = np.asarray(envelope, dtype=np.int64)
+        us = np.arange(0, U)
+        rss = env[:U, 0]
+        res = env[:U, 1]
+    Wb = int(np.max(res - rss))
+
+    first_char, chars = _beam2d_row_scan(
+        jnp.asarray(y1, dtype), jnp.asarray(y2, dtype),
+        jnp.asarray(us), jnp.asarray(rss), jnp.asarray(res),
+        model_id, beam_width, A, Wb,
+    )
+    out = [int(first_char)] + [int(c) for c in np.asarray(chars)]
+    return "".join(alphabet[c] for c in out if c >= 0)

@@ -174,6 +174,97 @@ def _shift_window(vec, prev_off, new_off, Wb: int, extra: int = 1):
     return jax.lax.dynamic_slice_in_dim(padded, start, Wb + extra, axis=-1)
 
 
+def _layered_axis_sweep(model_id, A, Wb, rs, re,
+                        nk1, nk2, npk1, npk2, nchar, npchar, nvalid,
+                        stale, prev_off, psweep, poff, y_pad, cum_pad, pad):
+    """Sweep every candidate's per-read state across window [rs, re) on one
+    read axis, honoring parent-forest dependencies (layered closed forms).
+
+    stale [C,2,Wb] own previous sweep at shared window offset prev_off;
+    psweep/poff: frozen parent sweeps with per-candidate offsets.
+    Returns (new_sweep [C,2,Wb], new_psweep, new_poff, window_max [C]).
+    """
+    C = nk1.shape[0]
+    dtype = stale.dtype
+
+    stale_ext = _shift_window(stale, prev_off, rs, Wb, extra=1)
+    seeds = stale_ext[:, :, 0]  # [C, 2] value at rs-1
+
+    w_idx = jnp.arange(Wb)
+    v_abs = rs + w_idx
+    in_range_row = v_abs < re  # [Wb]
+    y_w = jax.lax.dynamic_slice(y_pad, (rs + pad, 0), (Wb, y_pad.shape[1]))
+    gap_w = jnp.where(in_range_row, y_w[:, -1], 0.0)
+
+    nchar_safe = jnp.maximum(nchar, 0)
+    c_emit = y_w.T[nchar_safe]  # [C, Wb]
+    if model_id == 2:
+        c_emit2 = y_w.T[nchar_safe + A]
+    else:
+        c_emit2 = jnp.zeros_like(c_emit)
+    same = nchar == npchar
+
+    in_range = jnp.broadcast_to(in_range_row[None, :], (C, Wb)) & nvalid[:, None]
+
+    parent_slot = _lookup_idx(npk1, npk2, nk1, nk2, nvalid)
+    is_root_parent = (npk1 == 0) & (npk2 == 0)
+    parent_slot = jnp.where(is_root_parent, -1, parent_slot)
+
+    root_vec = _root_ext(model_id, rs, Wb, cum_pad, dtype, pad)  # [2, Wb+1]
+    pstale_ext = jax.vmap(
+        lambda v, po: _shift_window(v, po, rs, Wb, extra=1)
+    )(psweep, poff)
+    parent_ext_external = jnp.where(
+        is_root_parent[:, None, None], root_vec[None], pstale_ext
+    )
+    root_start_w = is_root_parent[:, None] & (v_abs == 0)[None, :]
+
+    def sweep_cond(st):
+        done, _ = st
+        return ~jnp.all(done | ~nvalid)
+
+    def sweep_body(st):
+        done, cur = st  # cur: [C, 2, Wb+1] (slot 0 = seed col)
+        parent_done = jnp.where(parent_slot >= 0, done[jnp.maximum(parent_slot, 0)],
+                                True)
+        ready = ~done & parent_done & nvalid
+        parent_ext = jnp.where(
+            (parent_slot >= 0)[:, None, None],
+            cur[jnp.maximum(parent_slot, 0)],
+            parent_ext_external,
+        )
+        new_sweep = _sweep_node_states(
+            model_id, parent_ext, seeds, y_w, c_emit, c_emit2, same, gap_w,
+            in_range, root_start_w=root_start_w,
+        )
+        new_cur = jnp.where(
+            ready[:, None, None],
+            jnp.concatenate([seeds[:, :, None], new_sweep], axis=2),
+            cur,
+        )
+        return done | ready, new_cur
+
+    cur0 = jnp.concatenate(
+        [seeds[:, :, None], jnp.full((C, 2, Wb), _NEG_INF, dtype)], axis=2
+    )
+    done0 = jnp.zeros((C,), bool)
+    _, cur_final = jax.lax.while_loop(sweep_cond, sweep_body, (done0, cur0))
+    new_sweep = cur_final[:, :, 1:]  # [C, 2, Wb]
+
+    # refresh frozen parent copies where the parent was present this sweep
+    parent_present = parent_slot >= 0
+    new_psweep = jnp.where(
+        parent_present[:, None, None],
+        new_sweep[jnp.maximum(parent_slot, 0)],
+        psweep,
+    )
+    new_poff = jnp.where(parent_present, rs.astype(poff.dtype), poff)
+
+    tot = jnp.logaddexp(new_sweep[:, 0, :], new_sweep[:, 1, :])
+    window_max = jnp.max(jnp.where(in_range, tot, _NEG_INF), axis=1)
+    return new_sweep, new_psweep, new_poff, window_max
+
+
 def _beam2d_row_iteration(model_id, W, A, Wb, cand, inp, consts):
     """One u iteration of by-row 2D beam search. Returns (new_cand, beam_src)."""
     C = W * (A + 1)
@@ -266,87 +357,14 @@ def _beam2d_row_iteration(model_id, W, A, Wb, cand, inp, consts):
         [bpoff, jnp.full((W * A,), 1, bpoff.dtype) * prev_off]
     )
 
-    # re-window stale values to [rs-1, rs+Wb-1] -> [C, 2, Wb+1]
-    stale_ext = _shift_window(stale, prev_off, rs, Wb, extra=1)
-    seeds = stale_ext[:, :, 0]  # [C, 2]
-
     # ---- v-phase: layered closed-form sweep (BeamSearch.h:146-156) ----
-    w_idx = jnp.arange(Wb)
-    v_abs = rs + w_idx
-    in_range_row = v_abs < re  # [Wb]
-    y2_w = jax.lax.dynamic_slice(y2_pad, (rs + pad, 0), (Wb, y2_pad.shape[1]))
-    gap_w = jnp.where(in_range_row, y2_w[:, -1], 0.0)
-
-    nchar_safe = jnp.maximum(nchar, 0)
-    c_emit = y2_w[:, :].T[nchar_safe]  # [C, Wb] emission y2[v, char]
-    if model_id == 2:
-        c_emit2 = y2_w[:, :].T[nchar_safe + A]
-    else:
-        c_emit2 = jnp.zeros_like(c_emit)
-    same = nchar == npchar
-
-    in_range = jnp.broadcast_to(in_range_row[None, :], (C, Wb)) & nvalid[:, None]
-
-    parent_slot = _lookup_idx(npk1, npk2, nk1, nk2, nvalid)
-    is_root_parent = (npk1 == 0) & (npk2 == 0)
-    parent_slot = jnp.where(is_root_parent, -1, parent_slot)
-
-    root_vec = _root_ext(model_id, rs, Wb, cum2_pad, dtype, pad)  # [2, Wb+1]
-    # external parent values: root for depth-1, else the frozen copy of the
-    # parent's last sweep (per-candidate window offset)
-    pstale_ext = jax.vmap(
-        lambda v, po: _shift_window(v, po, rs, Wb, extra=1)
-    )(psweep, poff)
-    parent_ext_external = jnp.where(
-        is_root_parent[:, None, None], root_vec[None], pstale_ext
+    new_sweep1, new_psweep, new_poff, max1 = _layered_axis_sweep(
+        model_id, A, Wb, rs, re,
+        nk1, nk2, npk1, npk2, nchar, npchar, nvalid,
+        stale, prev_off, psweep, poff, y2_pad, cum2_pad, pad,
     )
-    # flipflop's root special case: window cell at absolute v == 0
-    root_start_w = is_root_parent[:, None] & (v_abs == 0)[None, :]
-
-    def sweep_cond(st):
-        done, _ = st
-        return ~jnp.all(done | ~nvalid)
-
-    def sweep_body(st):
-        done, cur = st  # cur: [C, 2, Wb+1] (slot 0 = seed col)
-        parent_done = jnp.where(parent_slot >= 0, done[jnp.maximum(parent_slot, 0)],
-                                True)
-        ready = ~done & parent_done & nvalid
-        parent_ext = jnp.where(
-            (parent_slot >= 0)[:, None, None],
-            cur[jnp.maximum(parent_slot, 0)],
-            parent_ext_external,
-        )
-        new_sweep = _sweep_node_states(
-            model_id, parent_ext, seeds, y2_w, c_emit, c_emit2, same, gap_w,
-            in_range, root_start_w=root_start_w,
-        )
-        new_cur = jnp.where(
-            ready[:, None, None],
-            jnp.concatenate([seeds[:, :, None], new_sweep], axis=2),
-            cur,
-        )
-        return done | ready, new_cur
-
-    cur0 = jnp.concatenate(
-        [seeds[:, :, None], jnp.full((C, 2, Wb), _NEG_INF, dtype)], axis=2
-    )
-    done0 = jnp.zeros((C,), bool)
-    _, cur_final = jax.lax.while_loop(sweep_cond, sweep_body, (done0, cur0))
-    new_sweep1 = cur_final[:, :, 1:]  # [C, 2, Wb]
-
-    # refresh frozen parent copies where the parent was present this sweep
-    parent_present = parent_slot >= 0
-    new_psweep = jnp.where(
-        parent_present[:, None, None],
-        new_sweep1[jnp.maximum(parent_slot, 0)],
-        psweep,
-    )
-    new_poff = jnp.where(parent_present, rs.astype(poff.dtype), poff)
 
     # ---- scores: last0 + max over row of read-1 prob (node_greater_max) ----
-    tot1 = jnp.logaddexp(new_sweep1[:, 0, :], new_sweep1[:, 1, :])
-    max1 = jnp.max(jnp.where(in_range, tot1, _NEG_INF), axis=1)
     last0 = jnp.logaddexp(nstate0[:, 0], nstate0[:, 1])
     nscore = jnp.where(nvalid, last0 + max1, _NEG_INF)
 

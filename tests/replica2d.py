@@ -180,3 +180,72 @@ def beam_search_2d_by_row_replica(
     if return_beam_trace:
         return tree.label(beam[0]), trace
     return tree.label(beam[0])
+
+
+def beam_search_2d_row_col_replica(
+    y1, y2, envelope, alphabet="ACGT", beam_width=25, model="ctc"
+):
+    """Exact port of beam_search_2d_by_row_col (BeamSearch.h:262-397)."""
+    tree = Tree2D(y1, y2, alphabet, model)
+    U, V = len(y1), len(y2)
+    env = [(int(a), int(b)) for a, b in envelope]
+    env_t = [[-1, -1] for _ in range(V)]
+    for u in range(U):
+        for x in range(env[u][0], min(env[u][1], V)):
+            if env_t[x][0] < 0:
+                env_t[x] = [u, u + 1]
+            else:
+                env_t[x][1] += 1
+
+    beam = []
+    for n in tree.expand(tree.root):
+        tree.update(n, 0, 0)
+        tree.update(n, 1, 0)
+        beam.append(n)
+
+    u = v = 0
+    while u <= U - 1 and v <= V - 1:
+        row_s, row_e = env[u]
+        col_s, col_e_env = env_t[v]
+        if row_s <= v < row_e:
+            row_start, row_end = v, row_e
+        elif v < row_s:
+            for b in range(min(beam_width, len(beam))):
+                tree.update(beam[b], 1, v)
+            v += 1
+            continue
+        else:
+            break  # C++ reads uninitialized bounds here (UB)
+        if col_s >= 0 and col_s <= u < col_e_env:
+            col_start, col_end = u, col_e_env
+        elif col_s >= 0 and u < col_s:
+            for b in range(min(beam_width, len(beam))):
+                tree.update(beam[b], 0, u)
+            u += 1
+            continue
+        else:
+            break  # UB in C++
+
+        beam_size = len(beam)
+        for b in range(beam_size):
+            n = beam[b]
+            tree.update(n, 0, col_start)
+            tree.update(n, 1, row_start)
+            n.reset_max()
+            for ch in tree.expand(n):
+                ch.reset_max()
+                tree.update(ch, 0, col_start)
+                tree.update(ch, 1, row_start)
+                beam.append(ch)
+        for u_ in range(col_start, col_end):
+            for n in beam:
+                tree.update(n, 0, u_)
+        for v_ in range(row_start, row_end):
+            for n in beam:
+                tree.update(n, 1, v_)
+        uniq = list(dict.fromkeys(beam))
+        uniq.sort(key=lambda n: n.max_prob[0] + n.max_prob[1], reverse=True)
+        beam = uniq[:beam_width]
+        u += 1
+        v += 1
+    return tree.label(beam[0])

@@ -131,3 +131,56 @@ class TestRealTrace:
         r1 = beam_search(y, beam_width=25)
         r2 = beam_search_2d(y, y, envelope=env, beam_width=25)
         assert r1 == r2
+
+
+class TestRowCol:
+    def test_rowcol_random_matches_replica(self):
+        from replica2d import beam_search_2d_row_col_replica
+
+        rng = np.random.default_rng(31)
+        for model, S in (("ctc", 3), ("ctc_merge_repeats", 3), ("ctc_flipflop", 4)):
+            for trial in range(3):
+                y1 = rng.random((7, S))
+                y1 = np.log(y1 / y1.sum(axis=1, keepdims=True))
+                y2 = rng.random((6, S))
+                y2 = np.log(y2 / y2.sum(axis=1, keepdims=True))
+                env = np.array(
+                    [(max(0, i - 2), min(i + 3, 6)) for i in range(7)]
+                )
+                r_vec = beam_search_2d(
+                    y1, y2, envelope=env, beam_width=4, alphabet="AB",
+                    model=model, method="row_col",
+                )
+                r_rep = beam_search_2d_row_col_replica(
+                    y1, y2, env, alphabet="AB", beam_width=4, model=model
+                )
+                assert r_vec == r_rep, (model, trial, r_vec, r_rep)
+
+    def test_rowcol_full_envelope_joint_oracle(self):
+        y1 = Y_TOY
+        y2 = np.array(
+            [[0.7, 0.2, 0.1], [0.2, 0.3, 0.5], [0.7, 0.2, 0.1], [0.05, 0.05, 0.9]]
+        )
+        env = np.tile([0, 4], (4, 1))
+        seq = beam_search_2d(
+            np.log(y1), np.log(y2), envelope=env, beam_width=25,
+            alphabet="AB", method="row_col",
+        )
+        joint = JointProfile(
+            CTCProfile(y1, ("A", "B", "")), CTCProfile(y2, ("A", "B", ""))
+        )
+        assert seq == joint.top_label()[0]
+
+    def test_rowcol_real_trace_vs_replica(self):
+        from replica2d import beam_search_2d_row_col_replica
+        from poreover_tpu.io.trace import model_from_trace
+
+        m = model_from_trace("/root/reference/tests/poreover.csv")
+        y = m.log_prob[:120]
+        T = len(y)
+        env = np.array([(max(0, i - 8), min(i + 8, T)) for i in range(T)])
+        r_vec = beam_search_2d(
+            y, y, envelope=env, beam_width=5, method="row_col"
+        )
+        r_rep = beam_search_2d_row_col_replica(y, y, env, beam_width=5)
+        assert r_vec == r_rep

@@ -232,7 +232,7 @@ def _rowcol_scan(y1, y2, env, env_t, model_id: int, W: int, A: int,
     )
 
     def step(carry, _):
-        u, v, done, cand = carry
+        u, v, done, prev_rs, prev_re, prev_cs, prev_ce, cand = carry
         u_ok = u <= U - 1
         v_ok = v <= V - 1
         active = ~done & u_ok & v_ok
@@ -245,16 +245,23 @@ def _rowcol_scan(y1, y2, env, env_t, model_id: int, W: int, A: int,
         in_row = (v >= row_s) & (v < row_e)
         catch1 = v < row_s
         in_col = (col_s >= 0) & (u >= col_s) & (u < col_e)
-        catch0 = (col_s >= 0) & (u < col_s) & ~catch1 & in_row
+        catch0 = (col_s >= 0) & (u < col_s) & ~catch1
 
-        do_main = active & in_row & in_col
+        do_main = active & ~catch1 & ~catch0
         do_catch1 = active & catch1
         do_catch0 = active & catch0
-        stuck = active & ~do_main & ~do_catch1 & ~do_catch0
+
+        # bounds persist across iterations when a check falls through (the
+        # C++ leaves them unassigned — de-facto stale reuse, see module doc)
+        rs_eff = jnp.where(in_row, v, prev_rs)
+        re_eff = jnp.where(in_row, row_e, prev_re)
+        cs_eff = jnp.where(in_col, u, prev_cs)
+        ce_eff = jnp.where(in_col, col_e, prev_ce)
 
         def main_branch(cand):
             new_cand, beam_src = _main_step(
-                model_id, W, A, Wb0, Wb1, cand, u, v, col_e, row_e, consts
+                model_id, W, A, Wb0, Wb1, cand, cs_eff, rs_eff, ce_eff, re_eff,
+                consts
             )
             return new_cand, beam_src
 
@@ -280,7 +287,15 @@ def _rowcol_scan(y1, y2, env, env_t, model_id: int, W: int, A: int,
 
         u_next = jnp.where(do_main | do_catch0, u + 1, u)
         v_next = jnp.where(do_main | do_catch1, v + 1, v)
-        done_next = done | ~u_ok | ~v_ok | stuck
+        done_next = done | ~u_ok | ~v_ok
+        # bound updates: row bounds stick on any non-catch1 step; col bounds
+        # only on main steps that were in-envelope
+        keep_row = active & ~catch1 & in_row
+        nrs = jnp.where(keep_row, v, prev_rs)
+        nre = jnp.where(keep_row, row_e, prev_re)
+        keep_col = do_main & in_col
+        ncs = jnp.where(keep_col, u, prev_cs)
+        nce = jnp.where(keep_col, col_e, prev_ce)
         # a no-op (done) step must not modify the candidate table
         out_cand = jax.tree.map(
             lambda new, old: jnp.where(
@@ -290,10 +305,14 @@ def _rowcol_scan(y1, y2, env, env_t, model_id: int, W: int, A: int,
             cand,
         )
         is_main = do_main
-        return (u_next, v_next, done_next, out_cand), (beam_src, is_main)
+        return (
+            (u_next, v_next, done_next, nrs, nre, ncs, nce, out_cand),
+            (beam_src, is_main),
+        )
 
-    (u_f, v_f, done_f, final), (beam_srcs, is_main) = jax.lax.scan(
-        step, (izero, izero, jnp.asarray(False), cand0), None, length=n_steps
+    carry0 = (izero, izero, jnp.asarray(False), izero, izero, izero, izero, cand0)
+    (*_, final), (beam_srcs, is_main) = jax.lax.scan(
+        step, carry0, None, length=n_steps
     )
 
     keep = _dedup_mask(final["k1"], final["k2"], final["valid"])

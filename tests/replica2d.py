@@ -204,6 +204,11 @@ def beam_search_2d_row_col_replica(
         beam.append(n)
 
     u = v = 0
+    # the C++ leaves row/col bounds unassigned when the diagonal has passed
+    # the envelope segment (BeamSearch.h:309-337 has no else); in practice
+    # the stack slots retain the previous iteration's values, so the walk
+    # continues with stale windows — reproduced here.
+    row_start = row_end = col_start = col_end = 0
     while u <= U - 1 and v <= V - 1:
         row_s, row_e = env[u]
         col_s, col_e_env = env_t[v]
@@ -214,8 +219,7 @@ def beam_search_2d_row_col_replica(
                 tree.update(beam[b], 1, v)
             v += 1
             continue
-        else:
-            break  # C++ reads uninitialized bounds here (UB)
+        # else: keep stale row bounds
         if col_s >= 0 and col_s <= u < col_e_env:
             col_start, col_end = u, col_e_env
         elif col_s >= 0 and u < col_s:
@@ -223,8 +227,7 @@ def beam_search_2d_row_col_replica(
                 tree.update(beam[b], 0, u)
             u += 1
             continue
-        else:
-            break  # UB in C++
+        # else: keep stale col bounds
 
         beam_size = len(beam)
         for b in range(beam_size):

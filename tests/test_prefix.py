@@ -49,3 +49,58 @@ def test_prefix_search_real_window():
     assert set(label) <= set("ACGT")
     # returned prob must equal the label's forward probability
     assert np.isclose(prob, fwd.forward(y, label, model="ctc"))
+
+
+def test_pair_prefix_search_toy():
+    """Pair prefix search recovers the joint-profile top label with its
+    normalized probability (reference tests/test_prefix.py:106-162)."""
+    from poreover_tpu.ops.pair_prefix import pair_prefix_search_log
+    from oracles import JointProfile
+
+    y1 = np.array(
+        [[0.8, 0.1, 0.1], [0.1, 0.3, 0.6], [0.7, 0.2, 0.1], [0.1, 0.1, 0.8]]
+    )
+    y2 = np.array(
+        [[0.7, 0.2, 0.1], [0.2, 0.3, 0.5], [0.7, 0.2, 0.1], [0.05, 0.05, 0.9]]
+    )
+    prof1 = CTCProfile(y1, ("A", "B", ""))
+    prof2 = CTCProfile(y2, ("A", "B", ""))
+    joint = JointProfile(prof1, prof2)
+    label, prob = pair_prefix_search_log(np.log(y1), np.log(y2), alphabet="AB")
+    expect_label, expect_prob = joint.top_label()
+    assert label == expect_label
+    assert np.isclose(prob, np.log(expect_prob) - np.log(joint.prob_agree))
+
+
+def test_pair_prefix_search_random():
+    from poreover_tpu.ops.pair_prefix import pair_prefix_search_log
+    from oracles import JointProfile
+
+    rng = np.random.default_rng(41)
+    for _ in range(5):
+        y1 = rng.random((4, 3))
+        y1 = y1 / y1.sum(axis=1, keepdims=True)
+        y2 = rng.random((4, 3))
+        y2 = y2 / y2.sum(axis=1, keepdims=True)
+        joint = JointProfile(CTCProfile(y1, ("A", "B", "")), CTCProfile(y2, ("A", "B", "")))
+        label, prob = pair_prefix_search_log(np.log(y1), np.log(y2), alphabet="AB")
+        expect_label, expect_prob = joint.top_label()
+        if expect_label == "":
+            continue  # gap-dominant: reference returns '' unnormalized
+        assert label == expect_label, (label, expect_label)
+        assert np.isclose(prob, np.log(expect_prob) - np.log(joint.prob_agree))
+
+
+def test_pair_prefix_search_envelope_matches_dense():
+    from poreover_tpu.ops.pair_prefix import pair_prefix_search_log
+
+    rng = np.random.default_rng(43)
+    y1 = rng.random((6, 5))
+    y1 = np.log(y1 / y1.sum(axis=1, keepdims=True))
+    y2 = rng.random((6, 5))
+    y2 = np.log(y2 / y2.sum(axis=1, keepdims=True))
+    dense = pair_prefix_search_log(y1, y2)
+    env = np.tile([0, 6], (6, 1))
+    full_env = pair_prefix_search_log(y1, y2, envelope=env)
+    assert dense[0] == full_env[0]
+    assert np.isclose(dense[1], full_env[1])

@@ -54,7 +54,7 @@ class KerasGRUCell(nn.Module):
         z = jax.nn.sigmoid(xz + hz)
         r = jax.nn.sigmoid(xr + hr)
         n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = ((1.0 - z) * n + z * h).astype(h.dtype)
         return h_new, h_new
 
 

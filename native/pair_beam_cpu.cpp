@@ -1,0 +1,202 @@
+// Single-core CPU implementation of the row_col 2D pair beam search
+// (plain-CTC model), used as the measured stand-in for the reference's
+// C++ decoder when computing bench.py's vs_baseline: same algorithmic
+// design class as the reference (node trie + per-(read,t) memo tables,
+// scalar loops), independently written.
+//
+// Semantics follow poreover's beam_search_2d_by_row_col
+// (reference BeamSearch.h:262-397) including the de-facto stale reuse of
+// envelope bounds, matching the TPU kernel and the python replica.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+
+inline double lse(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  double m = a > b ? a : b;
+  return m + std::log1p(std::exp(-(std::fabs(a - b))));
+}
+
+struct PairNode {
+  int last;
+  PairNode* parent;
+  int depth;
+  std::vector<PairNode*> children;
+  // per-read forward memo keyed by time index
+  std::unordered_map<int, double> prob[2];
+  double max_prob[2] = {kNegInf, kNegInf};
+
+  PairNode(int c, PairNode* p)
+      : last(c), parent(p), depth(p ? p->depth + 1 : 0) {}
+  ~PairNode() {
+    for (auto* ch : children) delete ch;
+  }
+
+  double at(int i, int t) const {
+    auto it = prob[i].find(t);
+    return it == prob[i].end() ? kNegInf : it->second;
+  }
+  void set(int i, int t, double v) {
+    prob[i][t] = v;
+    if (v > max_prob[i]) max_prob[i] = v;
+  }
+  void reset_max() { max_prob[0] = kNegInf; max_prob[1] = kNegInf; }
+};
+
+struct PairSearch {
+  const double* y[2];
+  int tmax[2];
+  int A;
+  PairNode* root;
+
+  PairSearch(const double* y1, int U, const double* y2, int V, int alpha)
+      : A(alpha) {
+    y[0] = y1;
+    y[1] = y2;
+    tmax[0] = U;
+    tmax[1] = V;
+    root = new PairNode(A, nullptr);
+    // plain-CTC root: cumulative blank mass per read, 0 at t=-1
+    for (int i = 0; i < 2; ++i) {
+      double s = 0.0;
+      root->prob[i][-1] = 0.0;
+      for (int t = 0; t < tmax[i]; ++t) {
+        s += y[i][t * (A + 1) + A];
+        root->prob[i][t] = s;
+      }
+    }
+  }
+  ~PairSearch() { delete root; }
+
+  std::vector<PairNode*>& expand(PairNode* n) {
+    if (n->children.empty()) {
+      for (int c = 0; c < A; ++c) n->children.push_back(new PairNode(c, n));
+    }
+    return n->children;
+  }
+
+  void update(PairNode* n, int i, int t) {
+    const double* row = y[i] + static_cast<size_t>(t) * (A + 1);
+    double emit = n->parent->at(i, t - 1) + row[n->last];
+    double stay = n->at(i, t - 1) + row[A];
+    n->set(i, t, lse(emit, stay));
+  }
+
+  std::string label(PairNode* n) const {
+    std::string out;
+    static const char* bases = "ACGT";
+    while (n && n->parent) {
+      out += bases[n->last % 4];
+      n = n->parent;
+    }
+    std::reverse(out.begin(), out.end());
+    return out;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// y1/y2: row-major [U, A+1]/[V, A+1] log-probs (blank last);
+// envelope: [U, 2] int64 rows [start, end). Returns consensus length;
+// writes sequence into out (caller allocates U+V+1).
+int pair_beam_row_col_cpu(const double* y1, int U, const double* y2, int V,
+                          const int64_t* envelope, int beam_width,
+                          char* out) {
+  const int A = 4;
+  PairSearch search(y1, U, y2, V, A);
+
+  // envelope transpose (column ranges)
+  std::vector<int64_t> col_lo(V, -1), col_hi(V, -1);
+  for (int u = 0; u < U; ++u) {
+    int64_t s = std::max<int64_t>(envelope[2 * u], 0);
+    int64_t e = std::min<int64_t>(envelope[2 * u + 1], V);
+    for (int64_t x = s; x < e; ++x) {
+      if (col_lo[x] < 0) {
+        col_lo[x] = u;
+        col_hi[x] = u + 1;
+      } else {
+        col_hi[x]++;
+      }
+    }
+  }
+
+  std::vector<PairNode*> beam;
+  for (auto* n : search.expand(search.root)) {
+    search.update(n, 0, 0);
+    search.update(n, 1, 0);
+    beam.push_back(n);
+  }
+
+  int64_t u = 0, v = 0;
+  int64_t row_start = 0, row_end = 0, col_start = 0, col_end = 0;
+  while (u <= U - 1 && v <= V - 1) {
+    int64_t rs = envelope[2 * u], re = envelope[2 * u + 1];
+    int64_t cs = col_lo[v], ce = col_hi[v];
+
+    if (v >= rs && v < re) {
+      row_start = v;
+      row_end = re;
+    } else if (v < rs) {
+      for (size_t b = 0; b < beam.size() && b < (size_t)beam_width; ++b)
+        search.update(beam[b], 1, (int)v);
+      ++v;
+      continue;
+    }  // else: stale bounds persist
+    if (cs >= 0 && u >= cs && u < ce) {
+      col_start = u;
+      col_end = ce;
+    } else if (cs >= 0 && u < cs) {
+      for (size_t b = 0; b < beam.size() && b < (size_t)beam_width; ++b)
+        search.update(beam[b], 0, (int)u);
+      ++u;
+      continue;
+    }  // else: stale bounds persist
+
+    size_t beam_size = beam.size();
+    for (size_t b = 0; b < beam_size; ++b) {
+      PairNode* n = beam[b];
+      search.update(n, 0, (int)col_start);
+      search.update(n, 1, (int)row_start);
+      n->reset_max();
+      for (auto* ch : search.expand(n)) {
+        ch->reset_max();
+        search.update(ch, 0, (int)col_start);
+        search.update(ch, 1, (int)row_start);
+        beam.push_back(ch);
+      }
+    }
+    for (int64_t uu = col_start; uu < col_end; ++uu)
+      for (auto* n : beam) search.update(n, 0, (int)uu);
+    for (int64_t vv = row_start; vv < row_end; ++vv)
+      for (auto* n : beam) search.update(n, 1, (int)vv);
+
+    std::sort(beam.begin(), beam.end());
+    beam.erase(std::unique(beam.begin(), beam.end()), beam.end());
+    std::sort(beam.begin(), beam.end(), [](PairNode* a, PairNode* b) {
+      return a->max_prob[0] + a->max_prob[1] > b->max_prob[0] + b->max_prob[1];
+    });
+    if ((int)beam.size() > beam_width) beam.resize(beam_width);
+    ++u;
+    ++v;
+  }
+
+  std::string seq = search.label(beam.front());
+  std::memcpy(out, seq.data(), seq.size());
+  out[seq.size()] = '\0';
+  return (int)seq.size();
+}
+
+}  // extern "C"

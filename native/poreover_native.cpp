@@ -188,3 +188,70 @@ int nw_global_pair_banded(const char* seq1, int l1, const char* seq2, int l2,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fitting ("glocal") alignment: the whole query aligns inside the reference
+// window; leading/trailing reference overhang is free. Used by the accuracy
+// benchmark's built-in aligner (the reference delegates to minimap2, which
+// is local — this is the analogous tool, written with clean semantics:
+// single-branch traceback, no band).
+int nw_fit_align(const char* query, int lq, const char* ref, int lr,
+                 int match, int mismatch, int gap_cost,
+                 char* out_q, char* out_r) {
+  std::vector<int> dp(static_cast<size_t>(lq + 1) * (lr + 1), 0);
+  std::vector<signed char> ptr(static_cast<size_t>(lq + 1) * (lr + 1), 0);
+  auto at = [&](int i, int j) -> int& {
+    return dp[static_cast<size_t>(i) * (lr + 1) + j];
+  };
+  auto pt = [&](int i, int j) -> signed char& {
+    return ptr[static_cast<size_t>(i) * (lr + 1) + j];
+  };
+  for (int i = 0; i <= lq; ++i) { at(i, 0) = gap_cost * i; pt(i, 0) = 1; }
+  for (int j = 0; j <= lr; ++j) { at(0, j) = 0; pt(0, j) = 2; }  // free ref start
+  for (int i = 1; i <= lq; ++i) {
+    for (int j = 1; j <= lr; ++j) {
+      int d = at(i - 1, j - 1) + score_fn(query[i - 1], ref[j - 1], match, mismatch);
+      int u = at(i - 1, j) + gap_cost;
+      int l = at(i, j - 1) + gap_cost;
+      int best = d; signed char p = 0;
+      if (u > best) { best = u; p = 1; }
+      if (l > best) { best = l; p = 2; }
+      at(i, j) = best;
+      pt(i, j) = p;
+    }
+  }
+  // free ref end: start traceback from the best cell in the last query row
+  int j_best = 0;
+  for (int j = 1; j <= lr; ++j)
+    if (at(lq, j) > at(lq, j_best)) j_best = j;
+
+  std::string a_q, a_r;
+  int i = lq, j = j_best;
+  while (i > 0 || j > 0) {
+    if (i == 0) break;  // remaining ref prefix is free overhang
+    signed char p = pt(i, j);
+    if (p == 0 && j > 0) {
+      --i; --j;
+      a_q += query[i];
+      a_r += ref[j];
+    } else if (p == 1 || j == 0) {
+      --i;
+      a_q += query[i];
+      a_r += '-';
+    } else {
+      --j;
+      a_q += '-';
+      a_r += ref[j];
+    }
+  }
+  std::reverse(a_q.begin(), a_q.end());
+  std::reverse(a_r.begin(), a_r.end());
+  std::memcpy(out_q, a_q.data(), a_q.size());
+  out_q[a_q.size()] = '\0';
+  std::memcpy(out_r, a_r.data(), a_r.size());
+  out_r[a_r.size()] = '\0';
+  return static_cast<int>(a_q.size());
+}
+
+}  // extern "C"

@@ -52,8 +52,58 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p,
     ]
+    import numpy as _np
+    from numpy.ctypeslib import ndpointer
+
+    lib.nw_fit_align.restype = ctypes.c_int
+    lib.nw_fit_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.pair_beam_row_col_cpu.restype = ctypes.c_int
+    lib.pair_beam_row_col_cpu.argtypes = [
+        ndpointer(_np.float64, flags="C_CONTIGUOUS"), ctypes.c_int,
+        ndpointer(_np.float64, flags="C_CONTIGUOUS"), ctypes.c_int,
+        ndpointer(_np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_char_p,
+    ]
     _lib = lib
     return _lib
+
+
+def fit_align(query: str, ref_window: str, match=2, mismatch=-1, gap_cost=-1):
+    """Fitting alignment: query global, reference-window overhang free."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buflen = len(query) + len(ref_window) + 1
+    out_q = ctypes.create_string_buffer(buflen)
+    out_r = ctypes.create_string_buffer(buflen)
+    n = lib.nw_fit_align(
+        query.encode(), len(query), ref_window.encode(), len(ref_window),
+        match, mismatch, gap_cost, out_q, out_r,
+    )
+    return out_q.value[:n].decode(), out_r.value[:n].decode()
+
+
+def pair_beam_row_col_cpu(y1, y2, envelope, beam_width: int = 5) -> str:
+    """Single-core CPU row_col pair beam search (plain CTC) — the measured
+    baseline stand-in for the reference's C++ decoder."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    y1 = np.ascontiguousarray(y1, dtype=np.float64)
+    y2 = np.ascontiguousarray(y2, dtype=np.float64)
+    env = np.ascontiguousarray(envelope, dtype=np.int64)
+    out = ctypes.create_string_buffer(len(y1) + len(y2) + 1)
+    n = lib.pair_beam_row_col_cpu(
+        y1, len(y1), y2, len(y2), env, beam_width, out
+    )
+    return out.value[:n].decode()
 
 
 def global_pair(seq1: str, seq2: str, match=2, mismatch=-1, gap_cost=-1):

@@ -71,7 +71,17 @@ def _catchup_column(model_id, A, Wb, t_col, cand, axis: int, y_pad, cum_pad, pad
     keep = _dedup_mask(cand["k1"], cand["k2"], cand["valid"])
     scores = jnp.where(keep, cand["score"], _NEG_INF)
     _, beam_src = jax.lax.top_k(scores, W)
-    sel = jnp.zeros((C,), bool).at[beam_src].set(keep[beam_src])
+    # select EVERY slot holding a beam node's key (duplicate slots carry the
+    # same node; later first-match lookups must see the updated column)
+    bk1 = cand["k1"][beam_src]
+    bk2 = cand["k2"][beam_src]
+    bvalid = keep[beam_src]
+    key_match = (
+        (cand["k1"][:, None] == bk1[None, :])
+        & (cand["k2"][:, None] == bk2[None, :])
+        & bvalid[None, :]
+    )
+    sel = cand["valid"] & jnp.any(key_match, axis=1)
 
     prev_off = cand[off_key]
     # window values at t_col-1 for self and (stored) parent
@@ -107,11 +117,16 @@ def _catchup_column(model_id, A, Wb, t_col, cand, axis: int, y_pad, cum_pad, pad
     new_col = _node_update(model_id, self_prev, parent_prev, nchar_safe,
                            cand["pchar"], y_t, A, root_start=root_start)
 
-    # re-anchor ALL windows right-aligned at t_col; write column for selected
-    new_off = t_col - Wb + 1
+    # keep windows in place when the column fits; shift minimally otherwise
+    # (shifting always would destroy stored values beyond the column)
+    new_off = jnp.where(t_col >= prev_off + Wb, t_col - Wb + 1, prev_off)
     shifted = _shift_window(cand[sweep_key], prev_off, new_off, Wb, extra=0)
-    shifted = shifted.at[:, :, Wb - 1].set(
-        jnp.where(sel[:, None], new_col, shifted[:, :, Wb - 1])
+    wpos = t_col - new_off
+    in_window = (wpos >= 0) & (wpos < Wb)
+    wpos_safe = jnp.clip(wpos, 0, Wb - 1)
+    col_vals = shifted[:, :, wpos_safe]
+    shifted = shifted.at[:, :, wpos_safe].set(
+        jnp.where(sel[:, None] & in_window, new_col, col_vals)
     )
     out = dict(cand)
     out[sweep_key] = shifted
@@ -220,15 +235,16 @@ def _rowcol_scan(y1, y2, env, env_t, model_id: int, W: int, A: int,
     sweep0 = sweep0.at[:, :, 0].set(init0["state"])
     sweep1 = jnp.full((C, 2, Wb1), _NEG_INF, dtype)
     sweep1 = sweep1.at[:, :, 0].set(init1["state"])
-    izero = jnp.asarray(0, jnp.int64)
+    itype = env.dtype
+    izero = jnp.asarray(0, itype)
     cand0 = dict(
         k1=init0["k1"], k2=init0["k2"], pk1=init0["pk1"], pk2=init0["pk2"],
         char=init0["char"], pchar=init0["pchar"], valid=init0["valid"],
         score=jnp.where(init0["valid"], 0.0, _NEG_INF).astype(dtype),
         sweep0=sweep0, psweep0=jnp.full((C, 2, Wb0), _NEG_INF, dtype),
-        poff0=jnp.zeros((C,), jnp.int64), off0=izero,
+        poff0=jnp.zeros((C,), itype), off0=izero,
         sweep1=sweep1, psweep1=jnp.full((C, 2, Wb1), _NEG_INF, dtype),
-        poff1=jnp.zeros((C,), jnp.int64), off1=izero,
+        poff1=jnp.zeros((C,), itype), off1=izero,
     )
 
     def step(carry, _):

@@ -184,3 +184,28 @@ class TestRowCol:
         )
         r_rep = beam_search_2d_row_col_replica(y, y, env, beam_width=5)
         assert r_vec == r_rep
+
+
+class TestRowColScale:
+    """Full-pipeline-derived workload: TPU kernel vs single-core C++ trie
+    decoder (native/pair_beam_cpu.cpp). Exact agreement at mid scale; at
+    full read scale a handful of near-tie bases may differ because the C++
+    (like the reference) keeps unbounded per-node hashmap history while the
+    kernel keeps windowed state."""
+
+    def test_real_envelope_slice_exact(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench import build_workload
+        from poreover_tpu.native import pair_beam_row_col_cpu
+
+        y1, y2, env = build_workload()
+        N = 1500
+        y1s, y2s = y1[:N], y2[: int(env[N, 1])]
+        envs = np.clip(env[:N], 0, len(y2s))
+        r_cpu = pair_beam_row_col_cpu(y1s, y2s, envs, beam_width=5)
+        r_vec = beam_search_2d(
+            y1s, y2s, envelope=envs, beam_width=5, method="row_col"
+        )
+        assert r_cpu == r_vec

@@ -70,21 +70,36 @@ def _model_from_args(args) -> PoreOverNet:
     )
 
 
+def _is_tf_bundle(prefix: str) -> bool:
+    return os.path.exists(prefix + ".index")
+
+
 def call(args) -> None:
     model = _model_from_args(args)
 
     weights = args.weights
     if weights is None:
-        weights = str(DEFAULT_CHECKPOINT / "checkpoint-jax")
-        if not os.path.exists(weights):
+        # same default as the reference (network.py:196-202): the bundled
+        # checkpoint-124, read directly from the TF bundle format
+        weights = "/root/reference/data/model/checkpoint-124"
+        if not _is_tf_bundle(weights):
             raise SystemExit(
-                "no --weights given and no bundled JAX checkpoint found; "
-                "train one with `poreover-tpu train` or convert the reference "
-                "TF checkpoint"
+                "no --weights given and no bundled checkpoint found; train "
+                "one with `poreover-tpu train`"
             )
     elif os.path.isdir(weights) and latest_checkpoint(weights):
         weights = latest_checkpoint(weights)
-    params = load_params(weights)
+
+    if _is_tf_bundle(weights):
+        from ..io.tf_checkpoint import load_keras_conv1_bigru3
+
+        import jax.numpy as _jnp
+
+        params = jax.tree.map(
+            _jnp.asarray, load_keras_conv1_bigru3(weights)
+        )
+    else:
+        params = load_params(weights)
 
     in_path = getattr(args, "in")
     if os.path.isdir(in_path):

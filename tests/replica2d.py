@@ -183,7 +183,8 @@ def beam_search_2d_by_row_replica(
 
 
 def beam_search_2d_row_col_replica(
-    y1, y2, envelope, alphabet="ACGT", beam_width=25, model="ctc"
+    y1, y2, envelope, alphabet="ACGT", beam_width=25, model="ctc",
+    return_beam_trace=False,
 ):
     """Exact port of beam_search_2d_by_row_col (BeamSearch.h:262-397)."""
     tree = Tree2D(y1, y2, alphabet, model)
@@ -204,6 +205,7 @@ def beam_search_2d_row_col_replica(
         beam.append(n)
 
     u = v = 0
+    trace = []
     # the C++ leaves row/col bounds unassigned when the diagonal has passed
     # the envelope segment (BeamSearch.h:309-337 has no else); in practice
     # the stack slots retain the previous iteration's values, so the walk
@@ -249,6 +251,15 @@ def beam_search_2d_row_col_replica(
         uniq = list(dict.fromkeys(beam))
         uniq.sort(key=lambda n: n.max_prob[0] + n.max_prob[1], reverse=True)
         beam = uniq[:beam_width]
+        if return_beam_trace:
+            trace.append(
+                [
+                    (tree.label(n), n.max_prob[0], n.max_prob[1])
+                    for n in beam
+                ]
+            )
         u += 1
         v += 1
+    if return_beam_trace:
+        return tree.label(beam[0]), trace, tree, beam
     return tree.label(beam[0])

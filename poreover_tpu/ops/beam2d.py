@@ -462,10 +462,16 @@ def beam_search_2d(
     U, V = len(y1), len(y2)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    if method not in ("row", "row_col"):
+    if method not in ("row", "row_col", "row_col_steps"):
         raise ValueError(f"unsupported 2D beam method {method!r}")
 
     if method == "row_col":
+        # plan-driven fast path (identical semantics; see beam2d_planned)
+        from .beam2d_planned import beam_search_2d_planned
+
+        return beam_search_2d_planned(y1, y2, envelope, beam_width, alphabet, model)
+
+    if method == "row_col_steps":
         from .beam2d_rowcol import beam_search_2d_row_col
 
         return beam_search_2d_row_col(y1, y2, envelope, beam_width, alphabet, model)

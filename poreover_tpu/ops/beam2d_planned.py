@@ -106,7 +106,8 @@ def plan_walk(env: np.ndarray, env_t: np.ndarray, U: int, V: int):
 
 def _chunked_sweep(model_id, A, lo, hi, y_pad, cum_pad, pad,
                    nk1, nk2, npk1, npk2, nchar, npchar, sweep_mask,
-                   storage, st_off, psweep, poff, Wst: int):
+                   storage, st_off, psweep, poff, Wst: int,
+                   n_layers: int | None = None):
     """Sweep candidates' states across window [lo, hi) in CHUNK-column
     pieces, updating ``storage`` in place (merged, min-shift anchored).
 
@@ -260,9 +261,17 @@ def _chunked_sweep(model_id, A, lo, hi, y_pad, cum_pad, pad,
 
         done0 = jnp.zeros((C,), bool)
         cur0 = jnp.full((C, 2, CHUNK), _NEG_INF, dtype)
-        done_f, cur_f, _ = jax.lax.while_loop(
-            layer_cond, layer_body, (done0, cur0, seeds)
-        )
+        if n_layers is not None:
+            # static unroll: chain depth is bounded by W+1, and straight-line
+            # code avoids per-iteration While overhead on TPU
+            st = (done0, cur0, seeds)
+            for _ in range(n_layers):
+                st = layer_body(st)
+            done_f, cur_f, _ = st
+        else:
+            done_f, cur_f, _ = jax.lax.while_loop(
+                layer_cond, layer_body, (done0, cur0, seeds)
+            )
 
         # merge chunk into storage (only swept candidates, in-range columns)
         pos = c_lo - new_st_off  # chunk start within storage
@@ -384,6 +393,7 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
     C = W * (A + 1)
     dtype = y1.dtype
     pad = CHUNK + 2
+    NL = None  # adaptive while-loop layering measures faster than static unroll
 
     def padmat(y):
         return jnp.concatenate(
@@ -422,13 +432,13 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
             model_id, A, alo, ahi, y1_pad, cum1_pad, pad,
             fields["k1"], fields["k2"], fields["pk1"], fields["pk2"],
             fields["char"], fields["pchar"], fields["valid"],
-            stale0, cand["off0"], psweep0, poff0, Wst0,
+            stale0, cand["off0"], psweep0, poff0, Wst0, n_layers=NL,
         )
         st1, off1, max1 = _chunked_sweep(
             model_id, A, blo, bhi, y2_pad, cum2_pad, pad,
             fields["k1"], fields["k2"], fields["pk1"], fields["pk2"],
             fields["char"], fields["pchar"], fields["valid"],
-            stale1, cand["off1"], psweep1, poff1, Wst1,
+            stale1, cand["off1"], psweep1, poff1, Wst1, n_layers=NL,
         )
         psweep0, poff0 = _refresh_psweep(fields, st0, off0, psweep0, poff0)
         psweep1, poff1 = _refresh_psweep(fields, st1, off1, psweep1, poff1)
@@ -462,7 +472,7 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
             cand["k1"], cand["k2"], cand["pk1"], cand["pk2"],
             cand["char"], cand["pchar"], sel,
             cand[f"sweep{axis}"], cand[f"off{axis}"],
-            cand[f"psweep{axis}"], cand[f"poff{axis}"], Wst,
+            cand[f"psweep{axis}"], cand[f"poff{axis}"], Wst, n_layers=NL,
         )
         psweep, poff = _refresh_psweep(
             cand, st, off, cand[f"psweep{axis}"], cand[f"poff{axis}"]

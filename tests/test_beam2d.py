@@ -209,3 +209,43 @@ class TestRowColScale:
             y1s, y2s, envelope=envs, beam_width=5, method="row_col"
         )
         assert r_cpu == r_vec
+
+
+class TestPlanned:
+    """Plan-driven fast path vs replica and the step-driven kernel."""
+
+    def test_planned_random_matches_replica(self):
+        from replica2d import beam_search_2d_row_col_replica
+        from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
+
+        rng = np.random.default_rng(47)
+        for model, S in (("ctc", 3), ("ctc_merge_repeats", 3), ("ctc_flipflop", 4)):
+            for trial in range(2):
+                y1 = rng.random((9, S))
+                y1 = np.log(y1 / y1.sum(axis=1, keepdims=True))
+                y2 = rng.random((8, S))
+                y2 = np.log(y2 / y2.sum(axis=1, keepdims=True))
+                env = np.array([(max(0, i - 2), min(i + 3, 8)) for i in range(9)])
+                r_p = beam_search_2d_planned(
+                    y1, y2, env, beam_width=4, alphabet="AB", model=model
+                )
+                r_r = beam_search_2d_row_col_replica(
+                    y1, y2, env, alphabet="AB", beam_width=4, model=model
+                )
+                assert r_p == r_r, (model, trial, r_p, r_r)
+
+    def test_planned_real_slice_matches_cpp(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench import build_workload
+        from poreover_tpu.native import pair_beam_row_col_cpu
+        from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
+
+        y1, y2, env = build_workload()
+        N = 1500
+        y1s, y2s = y1[:N], y2[: int(env[N, 1])]
+        envs = np.clip(env[:N], 0, len(y2s))
+        r_cpu = pair_beam_row_col_cpu(y1s, y2s, envs, beam_width=5)
+        r_p = beam_search_2d_planned(y1s, y2s, envs, beam_width=5)
+        assert r_cpu == r_p

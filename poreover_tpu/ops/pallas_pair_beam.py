@@ -1,0 +1,587 @@
+"""Pallas TPU mega-kernel for plan-driven row_col pair beam search (CTC).
+
+The entire consensus search — ~50k sequential plan steps of prune / expand /
+windowed CTC sweeps — runs as ONE `pallas_call` with a sequential 1D grid
+over plan steps. All search state lives in VMEM/SMEM scratch, which persists
+across grid steps on TPU, eliminating the per-step dispatch/While overhead
+that dominates the lax.scan implementation (ops/beam2d_planned.py — same
+step semantics; differential-tested against it).
+
+Layout:
+- y planes [8, 1+T]: rows A,C,G,T, gap, cumulative-gap, pad, pad; one
+  leading pad column so lane t+1 holds time t and lane 0 holds t = -1
+  (cum(-1) = 0; -inf elsewhere).
+- Candidate bookkeeping (prefix-hash keys, chars, validity, scores) is
+  scalar SMEM work unrolled over the C = W*(A+1) slots.
+- Sweep compute is [32 candidates x 128 window columns] VPU tiles; the
+  within-window stay chain is a closed-form cumulative logsumexp
+  (Hillis-Steele lane scan); parent values are gathered across candidates
+  with one-hot [32,32] MXU matmuls. Parent chains converge by recomputing
+  W+1 fixed layers (a depth-d node is correct after layer d).
+- Candidate-table reordering at prune (winner slots + child slots) is a
+  pair of one-hot matmuls permuting the storage/frozen-copy planes.
+- Per-step provenance (step type + W winner slots) streams to HBM; the
+  label is reconstructed by a host walk identical to the XLA engine's.
+
+Supported model: plain CTC ("poreover") — the pair-decode flagship
+configuration. W (beam width) and A = 4 are static.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = np.float32(-1e30)
+
+MAIN, C0RUN, C1RUN = 0, 1, 2
+
+_M1 = np.uint32(2654435761)
+_M2 = np.uint32(40503)
+
+
+def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = W * (A + 1)
+    CP = 32
+    assert C <= CP
+    LAYERS = W + 1
+    S0 = Wst0 + 2 * CH  # storage lanes incl. write slack
+    S1 = Wst1 + 2 * CH
+
+    def kernel(type_ref, alo_ref, ahi_ref, blo_ref, bhi_ref,
+               y1_ref, y2_ref,
+               prov_ref, fin_ref,
+               st0, ps0, st1, ps1,
+               k1, k2, pk1, pk2, chs, pchs, valid, score,
+               so_s,
+               chvec, swmask, rootmask, psmask, pswept,
+               onehot, onehot2,
+               mx, seeds, tmp):
+        i = pl.program_id(0)
+        stype = type_ref[i]
+
+        # ------------------------------------------------------------------
+        @pl.when(i == 0)
+        def _init():
+            so_s[0] = 0
+            so_s[1] = 0
+            st0[:, :] = jnp.full((CP, S0), _NEG, jnp.float32)
+            ps0[:, :] = jnp.full((CP, S0), _NEG, jnp.float32)
+            st1[:, :] = jnp.full((CP, S1), _NEG, jnp.float32)
+            ps1[:, :] = jnp.full((CP, S1), _NEG, jnp.float32)
+            for s in range(CP):
+                k1[s] = 0
+                k2[s] = 0
+                pk1[s] = 0
+                pk2[s] = 0
+                chs[s] = 0
+                pchs[s] = -1
+                valid[s] = 0
+                score[s] = _NEG
+            for c in range(A):
+                k1[c] = jnp.int32(np.int32(np.uint32(c + 1)))
+                k2[c] = jnp.int32(np.int32(np.uint32(c + 1)))
+                chs[c] = c
+                valid[c] = 1
+                score[c] = 0.0
+                # init values at t=0 (reference init at (0,0),(1,0))
+                st0[c, 1] = y1_ref[c, 1]
+                st1[c, 1] = y2_ref[c, 1]
+            # NOTE: storage lane l holds time (so + l - 1) with so=0 -> lane
+            # 1 is t=0, lane 0 is t=-1 (kept -inf). This matches the y-plane
+            # convention and keeps seed reads at lo-1 >= -1 in bounds.
+
+        # ==================================================================
+        # scalar helpers (python-unrolled over C slots)
+        # ==================================================================
+        def gather_i32(arr, idx):
+            out = arr[0]
+            for s in range(1, C):
+                out = jnp.where(idx == s, arr[s], out)
+            return out
+
+        def select_winners():
+            """Top-W valid slots by score with key dedup.
+            Returns (winner_slots [W], winner_ok [W]) traced scalars."""
+            avail = [valid[s] > 0 for s in range(C)]
+            winners = []
+            winner_ok = []
+            for _w in range(W):
+                best_s = jnp.int32(0)
+                best_v = jnp.float32(_NEG)
+                has = jnp.bool_(False)
+                for s in range(C):
+                    cond = avail[s] & ((score[s] > best_v) | ~has)
+                    best_v = jnp.where(cond, score[s], best_v)
+                    best_s = jnp.where(cond, s, best_s)
+                    has = has | avail[s]
+                bk1 = gather_i32(k1, best_s)
+                bk2 = gather_i32(k2, best_s)
+                avail = [
+                    avail[s] & ~((k1[s] == bk1) & (k2[s] == bk2))
+                    for s in range(C)
+                ]
+                winners.append(jnp.where(has, best_s, -1))
+                winner_ok.append(has)
+            return winners, winner_ok
+
+        def extend_key(kk1, kk2, c):
+            nk1 = (kk1.astype(jnp.uint32) * _M1 + np.uint32(c + 1)).astype(
+                jnp.int32)
+            nk2 = (kk2.astype(jnp.uint32) * _M2 + np.uint32(c + 1)).astype(
+                jnp.int32)
+            return nk1, nk2
+
+        def build_parent_onehots(swept_pred):
+            """onehot[i, j] = 1 iff j is the first slot with i's parent key
+            AND swept_pred(j); pswept[i] marks having such a parent.
+            onehot2/psmask: same with presence (valid) instead of swept."""
+            onehot[:, :] = jnp.zeros((CP, CP), jnp.float32)
+            onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)
+            for s in range(C):
+                is_root = (pk1[s] == 0) & (pk2[s] == 0)
+                psl = jnp.int32(-1)
+                psl2 = jnp.int32(-1)
+                for t in range(C - 1, -1, -1):
+                    key_eq = (k1[t] == pk1[s]) & (k2[t] == pk2[s])
+                    psl = jnp.where(key_eq & swept_pred[t], t, psl)
+                    psl2 = jnp.where(key_eq & (valid[t] > 0), t, psl2)
+                have = (psl >= 0) & ~is_root
+                have2 = (psl2 >= 0) & ~is_root
+                pswept[s, 0] = jnp.where(have, 1.0, 0.0)
+                psmask[s, 0] = jnp.where(have2, 1.0, 0.0)
+                onehot[s, jnp.maximum(psl, 0)] = jnp.where(have, 1.0, 0.0)
+                onehot2[s, jnp.maximum(psl2, 0)] = jnp.where(have2, 1.0, 0.0)
+                rootmask[s, 0] = jnp.where(is_root & (valid[s] > 0), 1.0, 0.0)
+                chvec[s, 0] = chs[s].astype(jnp.float32)
+
+        # ==================================================================
+        # vectorized sweep over one axis
+        # ==================================================================
+        def sweep_axis(st, ps, so_idx, y_ref, lo, hi, Wst, S):
+            so = so_s[so_idx]
+            new_so = jnp.maximum(so, hi - Wst)
+            new_so = jnp.minimum(new_so, lo - 1)
+            d = new_so - so
+
+            @pl.when(d != 0)
+            def _shift():
+                li = jax.lax.broadcasted_iota(jnp.int32, (CP, S), 1)
+                ok = (li >= jnp.maximum(-d, 0)) & (li < S - jnp.maximum(d, 0))
+                st[:, :] = jnp.where(ok, pltpu.roll(st[:, :], -d, 1), _NEG)
+                ps[:, :] = jnp.where(ok, pltpu.roll(ps[:, :], -d, 1), _NEG)
+
+            so_s[so_idx] = new_so
+
+            # seeds: own value at lo-1  (storage lane = t - so + 1)
+            seeds[:, :] = st[:, pl.ds(lo - 1 - new_so + 1, 1)]
+            seeds[:, :] = jnp.where(swmask[:, :] > 0, seeds[:, :], _NEG)
+            mx[:, :] = jnp.full((CP, 1), _NEG, jnp.float32)
+
+            width = hi - lo
+            n_chunks = (width + CH - 1) // CH
+
+            def chunk(kc, carry):
+                c_lo = lo + kc * CH
+                li = jax.lax.broadcasted_iota(jnp.int32, (CP, CH), 1)
+                t_abs = c_lo + li
+                in_m = jnp.where(
+                    (t_abs < hi) & (swmask[:, :] > 0), 1.0, 0.0)
+
+                # emission rows by char (A-way select); y lane = t + 1
+                em = jnp.full((CP, CH), _NEG, jnp.float32)
+                for c in range(A):
+                    row = y_ref[c:c + 1, pl.ds(c_lo + 1, CH)]
+                    em = jnp.where(chvec[:, :] == float(c), row, em)
+                gap = y_ref[A:A + 1, pl.ds(c_lo + 1, CH)]
+                rootv = y_ref[A + 1:A + 2, pl.ds(c_lo, CH)]  # cum at t-1
+
+                # frozen parent values at t-1 (lane = t-1 - so + 1)
+                fro = ps[:, pl.ds(c_lo - new_so, CH)]
+                fro_pos = (c_lo - 1 - new_so) + li
+                fro = jnp.where((fro_pos >= -1) & (fro_pos < Wst), fro, _NEG)
+                ext = jnp.where(rootmask[:, :] > 0, rootv, fro)
+                ext = jnp.where(pswept[:, :] > 0, _NEG, ext)
+
+                gapm = jnp.where(in_m > 0, gap, 0.0)
+                cg = gapm
+                sh = 1
+                while sh < CH:
+                    cg = cg + jnp.where(li >= sh, pltpu.roll(cg, sh, 1), 0.0)
+                    sh *= 2
+
+                m = jnp.full((CP, CH), _NEG, jnp.float32)
+                for _layer in range(LAYERS):
+                    par = jnp.dot(onehot[:, :], m,
+                                  preferred_element_type=jnp.float32)
+                    pseed = jnp.dot(onehot[:, :], seeds[:, :],
+                                    preferred_element_type=jnp.float32)
+                    parsh = pltpu.roll(par, 1, 1)
+                    parsh = jnp.where(li == 0, pseed, parsh)
+                    pv = jnp.where(pswept[:, :] > 0, parsh, ext)
+                    E = jnp.where(in_m > 0, pv + em, _NEG)
+                    X = E - cg
+                    run = X
+                    sh = 1
+                    while sh < CH:
+                        prev = jnp.where(li >= sh, pltpu.roll(run, sh, 1), _NEG)
+                        run = jnp.logaddexp(run, prev)
+                        sh *= 2
+                    p = cg + jnp.logaddexp(run, seeds[:, :])
+                    m = jnp.where(in_m > 0, p, _NEG)
+
+                pos = c_lo - new_so + 1
+                old = st[:, pl.ds(pos, CH)]
+                st[:, pl.ds(pos, CH)] = jnp.where(in_m > 0, m, old)
+
+                mx[:, :] = jnp.maximum(
+                    mx[:, :],
+                    jnp.max(jnp.where(in_m > 0, m, _NEG), axis=1,
+                            keepdims=True))
+                new_seed = m[:, CH - 1:CH]
+                seeds[:, :] = jnp.where(swmask[:, :] > 0, new_seed, seeds[:, :])
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+            # clear write slack beyond the storage window
+            sl = jax.lax.broadcasted_iota(jnp.int32, (CP, S), 1)
+            st[:, :] = jnp.where(sl < Wst + 1, st[:, :], _NEG)
+
+            # frozen-copy refresh for present parents
+            pp = jnp.dot(onehot2[:, :], st[:, :],
+                         preferred_element_type=jnp.float32)
+            ps[:, :] = jnp.where(psmask[:, :] > 0, pp, ps[:, :])
+
+        # ==================================================================
+        # MAIN step
+        # ==================================================================
+        @pl.when(stype == MAIN)
+        def _main():
+            winners, winner_ok = select_winners()
+
+            # ---- gather winner fields ----
+            wk1 = [gather_i32(k1, winners[w]) for w in range(W)]
+            wk2 = [gather_i32(k2, winners[w]) for w in range(W)]
+            wpk1 = [gather_i32(pk1, winners[w]) for w in range(W)]
+            wpk2 = [gather_i32(pk2, winners[w]) for w in range(W)]
+            wch = [gather_i32(chs, winners[w]) for w in range(W)]
+            wpch = [gather_i32(pchs, winners[w]) for w in range(W)]
+
+            # ---- new table fields ----
+            nk1 = [None] * C
+            nk2 = [None] * C
+            npk1 = [None] * C
+            npk2 = [None] * C
+            nch = [None] * C
+            npch = [None] * C
+            nval = [None] * C
+            for w in range(W):
+                nk1[w], nk2[w] = wk1[w], wk2[w]
+                npk1[w], npk2[w] = wpk1[w], wpk2[w]
+                nch[w], npch[w] = wch[w], wpch[w]
+                nval[w] = winner_ok[w]
+            for b in range(W):
+                for c in range(A):
+                    s = W + b * A + c
+                    ck1, ck2 = extend_key(wk1[b], wk2[b], c)
+                    nk1[s], nk2[s] = ck1, ck2
+                    npk1[s], npk2[s] = wk1[b], wk2[b]
+                    nch[s] = jnp.int32(c)
+                    npch[s] = wch[b]
+                    nval[s] = winner_ok[b]
+
+            # ---- permutation sources ----
+            # beam rows (and their frozen rows) come from winner slots; child
+            # rows come from the old slot holding the same key (if any), and
+            # their frozen rows from the parent's (winner's) old storage row.
+            src_slot = [None] * C
+            src_has = [None] * C
+            for w in range(W):
+                src_slot[w] = jnp.maximum(winners[w], 0)
+                src_has[w] = winner_ok[w]
+            for b in range(W):
+                for c in range(A):
+                    s = W + b * A + c
+                    psl = jnp.int32(-1)
+                    for t in range(C - 1, -1, -1):
+                        hit = (k1[t] == nk1[s]) & (k2[t] == nk2[s]) & (
+                            valid[t] > 0)
+                        psl = jnp.where(hit, t, psl)
+                    src_slot[s] = jnp.maximum(psl, 0)
+                    src_has[s] = (psl >= 0) & winner_ok[b]
+
+            # build one-hot permutation matrices
+            onehot[:, :] = jnp.zeros((CP, CP), jnp.float32)   # storage perm
+            onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)  # frozen perm
+            for s in range(C):
+                onehot[s, src_slot[s]] = jnp.where(src_has[s], 1.0, 0.0)
+            for w in range(W):
+                onehot2[w, jnp.maximum(winners[w], 0)] = jnp.where(
+                    winner_ok[w], 1.0, 0.0)
+            # child frozen rows gather the parent's old *storage* row; mark
+            # them in pswept as a scratch flag (1 => from storage)
+            for s in range(C):
+                pswept[s, 0] = jnp.where(s >= W, 1.0, 0.0)
+
+            def permute(st, ps, S):
+                # storage permute
+                tmp[:, pl.ds(0, S)] = jnp.dot(
+                    onehot[:, :], st[:, pl.ds(0, S)],
+                    preferred_element_type=jnp.float32)
+                # frozen rows: beam rows from old frozen, child rows from
+                # parent's old storage
+                fr_beam = jnp.dot(onehot2[:, :], ps[:, pl.ds(0, S)],
+                                  preferred_element_type=jnp.float32)
+                # child source map: row s>=W -> winner[b]
+                fr_child = jnp.zeros((CP, S), jnp.float32)
+                # reuse onehot2 storage? build child map in onehot2 after
+                # beam use
+                onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)
+                for b in range(W):
+                    for c in range(A):
+                        s = W + b * A + c
+                        onehot2[s, jnp.maximum(winners[b], 0)] = jnp.where(
+                            winner_ok[b], 1.0, 0.0)
+                fr_child = jnp.dot(onehot2[:, :], st[:, pl.ds(0, S)],
+                                   preferred_element_type=jnp.float32)
+                newfr = jnp.where(pswept[:, :] > 0, fr_child, fr_beam)
+                hasrow = jnp.zeros((CP, 1), jnp.float32)
+                st[:, pl.ds(0, S)] = jnp.where(
+                    has_src_mask[:, :] > 0, tmp[:, pl.ds(0, S)], _NEG)
+                ps[:, pl.ds(0, S)] = jnp.where(
+                    valid_row_mask[:, :] > 0, newfr, _NEG)
+
+            # masks for permute
+            for s in range(C):
+                swmask[s, 0] = jnp.where(src_has[s], 1.0, 0.0)   # has_src
+                mxm = nval[s]
+                rootmask[s, 0] = jnp.where(mxm, 1.0, 0.0)        # valid rows
+            has_src_mask = swmask
+            valid_row_mask = rootmask
+            permute(st0, ps0, S0)
+            # rebuild beam map for axis1 (permute consumed onehot2)
+            onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)
+            for w in range(W):
+                onehot2[w, jnp.maximum(winners[w], 0)] = jnp.where(
+                    winner_ok[w], 1.0, 0.0)
+            permute(st1, ps1, S1)
+
+            # ---- commit new scalar fields ----
+            for s in range(C):
+                k1[s] = nk1[s]
+                k2[s] = nk2[s]
+                pk1[s] = npk1[s]
+                pk2[s] = npk2[s]
+                chs[s] = nch[s]
+                pchs[s] = npch[s]
+                valid[s] = jnp.where(nval[s], 1, 0)
+
+            # ---- sweep masks: all valid swept ----
+            for s in range(C):
+                swmask[s, 0] = jnp.where(valid[s] > 0, 1.0, 0.0)
+            swept_pred = [valid[t] > 0 for t in range(C)]
+            build_parent_onehots(swept_pred)
+
+            sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i], Wst0, S0)
+            for s in range(C):
+                score[s] = jnp.where(valid[s] > 0, mx[s, 0], _NEG)
+            sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i], Wst1, S1)
+            for s in range(C):
+                score[s] = jnp.where(valid[s] > 0, score[s] + mx[s, 0], _NEG)
+
+            # ---- provenance ----
+            prov_ref[0, 0] = stype
+            for w in range(W):
+                prov_ref[0, 1 + w] = winners[w]
+
+        # ==================================================================
+        # CATCH-RUN steps
+        # ==================================================================
+        @pl.when(stype != MAIN)
+        def _run():
+            winners, winner_ok = select_winners()
+            # swept = any slot whose key matches a winner key
+            wk1 = [gather_i32(k1, winners[w]) for w in range(W)]
+            wk2 = [gather_i32(k2, winners[w]) for w in range(W)]
+            swl = []
+            for s in range(C):
+                seld = jnp.bool_(False)
+                for w in range(W):
+                    seld = seld | (
+                        winner_ok[w] & (k1[s] == wk1[w]) & (k2[s] == wk2[w]))
+                seld = seld & (valid[s] > 0)
+                swl.append(seld)
+                swmask[s, 0] = jnp.where(seld, 1.0, 0.0)
+            build_parent_onehots(swl)
+
+            @pl.when(stype == C0RUN)
+            def _r0():
+                sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i],
+                           Wst0, S0)
+
+            @pl.when(stype == C1RUN)
+            def _r1():
+                sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i],
+                           Wst1, S1)
+
+            prov_ref[0, 0] = stype
+            for w in range(W):
+                prov_ref[0, 1 + w] = -1
+
+        # ---- final outputs ----
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _fin():
+            for s in range(C):
+                fin_ref[0, s] = score[s]
+                fin_ref[1, s] = valid[s].astype(jnp.float32)
+
+    return kernel, C, CP, LAYERS, S0, S1
+
+
+# --------------------------------------------------------------------------
+# host driver
+# --------------------------------------------------------------------------
+
+def _pack_plane(y: np.ndarray, CH: int = 128) -> np.ndarray:
+    """[T, A+1] log-probs -> [8, L] plane (chars+gap rows, cumsum row, one
+    leading pad column so lane t+1 holds time t; trailing pad so chunk
+    slices never run out of bounds; L rounded to a lane multiple)."""
+    T, S = y.shape
+    L = T + 1 + CH + 8
+    L = ((L + 127) // 128) * 128
+    plane = np.full((8, L), _NEG, np.float32)
+    plane[:S, 1:T + 1] = y.T.astype(np.float32)
+    plane[S, 0] = 0.0  # cum(-1)
+    plane[S, 1:T + 1] = np.cumsum(y[:, -1]).astype(np.float32)
+    return plane
+
+
+@partial(jax.jit, static_argnames=("W", "A", "Wst0", "Wst1", "CH", "interpret"))
+def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
+                W: int, A: int, Wst0: int, Wst1: int, CH: int,
+                interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel, C, CP, LAYERS, S0, S1 = _build_kernel(W, A, Wst0, Wst1, CH)
+    N = ptype.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CP, S0), jnp.float32),  # st0
+            pltpu.VMEM((CP, S0), jnp.float32),  # ps0
+            pltpu.VMEM((CP, S1), jnp.float32),  # st1
+            pltpu.VMEM((CP, S1), jnp.float32),  # ps1
+            pltpu.SMEM((CP,), jnp.int32),       # k1
+            pltpu.SMEM((CP,), jnp.int32),       # k2
+            pltpu.SMEM((CP,), jnp.int32),       # pk1
+            pltpu.SMEM((CP,), jnp.int32),       # pk2
+            pltpu.SMEM((CP,), jnp.int32),       # chs
+            pltpu.SMEM((CP,), jnp.int32),       # pchs
+            pltpu.SMEM((CP,), jnp.int32),       # valid
+            pltpu.SMEM((CP,), jnp.float32),     # score
+            pltpu.SMEM((4,), jnp.int32),        # so_s
+            pltpu.VMEM((CP, 1), jnp.float32),   # chvec
+            pltpu.VMEM((CP, 1), jnp.float32),   # swmask
+            pltpu.VMEM((CP, 1), jnp.float32),   # rootmask
+            pltpu.VMEM((CP, 1), jnp.float32),   # psmask
+            pltpu.VMEM((CP, 1), jnp.float32),   # pswept
+            pltpu.VMEM((CP, CP), jnp.float32),  # onehot
+            pltpu.VMEM((CP, CP), jnp.float32),  # onehot2
+            pltpu.VMEM((CP, 1), jnp.float32),   # mx
+            pltpu.VMEM((CP, 1), jnp.float32),   # seeds
+            pltpu.VMEM((CP, max(S0, S1)), jnp.float32),  # tmp
+        ],
+    )
+    prov, fin = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 8), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ) if not interpret else None,
+    )(ptype, alo, ahi, blo, bhi, y1p, y2p)
+    return prov, fin
+
+
+def _traceback(prov: np.ndarray, fin: np.ndarray, W: int, A: int,
+               alphabet: str) -> str:
+    """Host walk over provenance (same scheme as the XLA engines)."""
+    C = W * (A + 1)
+    scores = fin[0, :C]
+    valid = fin[1, :C] > 0
+    scores = np.where(valid, scores, -np.inf)
+    j = int(np.argmax(scores))
+    chars = []
+    for t in range(len(prov) - 1, -1, -1):
+        stype = prov[t, 0]
+        if stype != MAIN:
+            continue
+        winners = prov[t, 1:1 + W]
+        if j >= W:
+            b = (j - W) // A
+            c = (j - W) % A
+            chars.append(c)
+            j = b
+        j = int(winners[j])
+        if j < 0:
+            break
+    # j now indexes the init table: root children at slots 0..A-1
+    if j >= 0 and prov.shape[0] > 0:
+        chars.append(j if j < A else None)
+    out = [c for c in reversed(chars) if c is not None]
+    return "".join(alphabet[c] for c in out)
+
+
+def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
+                     alphabet: str = "ACGT", interpret: bool = False) -> str:
+    """Pallas-kernel row_col pair beam search (plain CTC)."""
+    from .beam2d_planned import C0RUN as PC0, C1RUN as PC1, plan_walk
+    from .beam2d_rowcol import transpose_envelope
+
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    U, V = len(y1), len(y2)
+    A = len(alphabet)
+    W = beam_width
+    env = np.asarray(envelope, dtype=np.int64)[:U]
+    env_t = transpose_envelope(env, U, V)
+    plan = plan_walk(env, env_t, U, V)
+    if len(plan["type"]) == 0:
+        return ""
+
+    w0 = np.where(plan["type"] != PC1, plan["a_hi"] - plan["a_lo"], 0)
+    w1 = np.where(plan["type"] != PC0, plan["b_hi"] - plan["b_lo"], 0)
+    Wst0 = int(max(w0.max(), 1)) + 2
+    Wst1 = int(max(w1.max(), 1)) + 2
+
+    y1p = jnp.asarray(_pack_plane(y1))
+    y2p = jnp.asarray(_pack_plane(y2))
+    prov, fin = _run_kernel(
+        y1p, y2p,
+        jnp.asarray(plan["type"]), jnp.asarray(plan["a_lo"]),
+        jnp.asarray(plan["a_hi"]), jnp.asarray(plan["b_lo"]),
+        jnp.asarray(plan["b_hi"]),
+        W, A, Wst0, Wst1, 128, interpret,
+    )
+    return _traceback(np.asarray(prov), np.asarray(fin), W, A, alphabet)

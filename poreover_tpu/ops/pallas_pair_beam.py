@@ -89,9 +89,19 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                 chs[c] = c
                 valid[c] = 1
                 score[c] = 0.0
-                # init values at t=0 (reference init at (0,0),(1,0))
-                st0[c, 1] = y1_ref[c, 1]
-                st1[c, 1] = y2_ref[c, 1]
+            # init values at t=0 (reference init at (0,0),(1,0)); vector
+            # writes since Mosaic forbids scalar stores to VMEM
+            li0 = jax.lax.broadcasted_iota(jnp.int32, (CP, S0), 1)
+            ro0 = jax.lax.broadcasted_iota(jnp.int32, (CP, S0), 0)
+            acc0 = st0[:, :]
+            li1 = jax.lax.broadcasted_iota(jnp.int32, (CP, S1), 1)
+            ro1 = jax.lax.broadcasted_iota(jnp.int32, (CP, S1), 0)
+            acc1 = st1[:, :]
+            for c in range(A):
+                acc0 = jnp.where((ro0 == c) & (li0 == 1), y1_ref[c, 1], acc0)
+                acc1 = jnp.where((ro1 == c) & (li1 == 1), y2_ref[c, 1], acc1)
+            st0[:, :] = acc0
+            st1[:, :] = acc1
             # NOTE: storage lane l holds time (so + l - 1) with so=0 -> lane
             # 1 is t=0, lane 0 is t=-1 (kept -inf). This matches the y-plane
             # convention and keeps seed reads at lo-1 >= -1 in bounds.
@@ -104,6 +114,24 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             for s in range(1, C):
                 out = jnp.where(idx == s, arr[s], out)
             return out
+
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (CP, 1), 0)
+        rCC = jax.lax.broadcasted_iota(jnp.int32, (CP, CP), 0)
+        cCC = jax.lax.broadcasted_iota(jnp.int32, (CP, CP), 1)
+
+        def vec_col(scalars, default):
+            # [CP,1] f32 built from C traced scalars (no scalar VMEM stores)
+            v = jnp.full((CP, 1), default, jnp.float32)
+            for s, x in enumerate(scalars):
+                v = jnp.where(row1 == s, x, v)
+            return v
+
+        def onehot_rows(row_col_have):
+            # [(row:int, col:traced, have:traced bool)] -> [CP,CP] one-hot
+            m = jnp.zeros((CP, CP), jnp.float32)
+            for r, col, have in row_col_have:
+                m = jnp.where((rCC == r) & (cCC == col) & have, 1.0, m)
+            return m
 
         def select_winners():
             """Top-W valid slots by score with key dedup.
@@ -141,8 +169,12 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             """onehot[i, j] = 1 iff j is the first slot with i's parent key
             AND swept_pred(j); pswept[i] marks having such a parent.
             onehot2/psmask: same with presence (valid) instead of swept."""
-            onehot[:, :] = jnp.zeros((CP, CP), jnp.float32)
-            onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)
+            oh1 = []
+            oh2 = []
+            psw = []
+            psm = []
+            rtm = []
+            chv = []
             for s in range(C):
                 is_root = (pk1[s] == 0) & (pk2[s] == 0)
                 psl = jnp.int32(-1)
@@ -153,12 +185,18 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                     psl2 = jnp.where(key_eq & (valid[t] > 0), t, psl2)
                 have = (psl >= 0) & ~is_root
                 have2 = (psl2 >= 0) & ~is_root
-                pswept[s, 0] = jnp.where(have, 1.0, 0.0)
-                psmask[s, 0] = jnp.where(have2, 1.0, 0.0)
-                onehot[s, jnp.maximum(psl, 0)] = jnp.where(have, 1.0, 0.0)
-                onehot2[s, jnp.maximum(psl2, 0)] = jnp.where(have2, 1.0, 0.0)
-                rootmask[s, 0] = jnp.where(is_root & (valid[s] > 0), 1.0, 0.0)
-                chvec[s, 0] = chs[s].astype(jnp.float32)
+                oh1.append((s, jnp.maximum(psl, 0), have))
+                oh2.append((s, jnp.maximum(psl2, 0), have2))
+                psw.append(jnp.where(have, 1.0, 0.0))
+                psm.append(jnp.where(have2, 1.0, 0.0))
+                rtm.append(jnp.where(is_root & (valid[s] > 0), 1.0, 0.0))
+                chv.append(chs[s].astype(jnp.float32))
+            onehot[:, :] = onehot_rows(oh1)
+            onehot2[:, :] = onehot_rows(oh2)
+            pswept[:, :] = vec_col(psw, 0.0)
+            psmask[:, :] = vec_col(psm, 0.0)
+            rootmask[:, :] = vec_col(rtm, 0.0)
+            chvec[:, :] = vec_col(chv, 0.0)
 
         # ==================================================================
         # vectorized sweep over one axis
@@ -316,18 +354,19 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                     src_slot[s] = jnp.maximum(psl, 0)
                     src_has[s] = (psl >= 0) & winner_ok[b]
 
-            # build one-hot permutation matrices
-            onehot[:, :] = jnp.zeros((CP, CP), jnp.float32)   # storage perm
-            onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)  # frozen perm
-            for s in range(C):
-                onehot[s, src_slot[s]] = jnp.where(src_has[s], 1.0, 0.0)
-            for w in range(W):
-                onehot2[w, jnp.maximum(winners[w], 0)] = jnp.where(
-                    winner_ok[w], 1.0, 0.0)
-            # child frozen rows gather the parent's old *storage* row; mark
-            # them in pswept as a scratch flag (1 => from storage)
-            for s in range(C):
-                pswept[s, 0] = jnp.where(s >= W, 1.0, 0.0)
+            # build one-hot permutation matrices (vectorized writes)
+            onehot[:, :] = onehot_rows(
+                [(s, src_slot[s], src_has[s]) for s in range(C)])
+            beam_map = onehot_rows(
+                [(w, jnp.maximum(winners[w], 0), winner_ok[w])
+                 for w in range(W)])
+            child_map = onehot_rows(
+                [(W + b * A + c, jnp.maximum(winners[b], 0), winner_ok[b])
+                 for b in range(W) for c in range(A)])
+            onehot2[:, :] = beam_map
+            # child frozen rows gather the parent's old *storage* row
+            is_child_row = jnp.where(row1 >= W, 1.0, 0.0)
+            pswept[:, :] = is_child_row
 
             def permute(st, ps, S):
                 # storage permute
@@ -336,40 +375,22 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                     preferred_element_type=jnp.float32)
                 # frozen rows: beam rows from old frozen, child rows from
                 # parent's old storage
-                fr_beam = jnp.dot(onehot2[:, :], ps[:, pl.ds(0, S)],
+                fr_beam = jnp.dot(beam_map, ps[:, pl.ds(0, S)],
                                   preferred_element_type=jnp.float32)
-                # child source map: row s>=W -> winner[b]
-                fr_child = jnp.zeros((CP, S), jnp.float32)
-                # reuse onehot2 storage? build child map in onehot2 after
-                # beam use
-                onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)
-                for b in range(W):
-                    for c in range(A):
-                        s = W + b * A + c
-                        onehot2[s, jnp.maximum(winners[b], 0)] = jnp.where(
-                            winner_ok[b], 1.0, 0.0)
-                fr_child = jnp.dot(onehot2[:, :], st[:, pl.ds(0, S)],
+                fr_child = jnp.dot(child_map, st[:, pl.ds(0, S)],
                                    preferred_element_type=jnp.float32)
                 newfr = jnp.where(pswept[:, :] > 0, fr_child, fr_beam)
-                hasrow = jnp.zeros((CP, 1), jnp.float32)
                 st[:, pl.ds(0, S)] = jnp.where(
-                    has_src_mask[:, :] > 0, tmp[:, pl.ds(0, S)], _NEG)
+                    has_src_mask > 0, tmp[:, pl.ds(0, S)], _NEG)
                 ps[:, pl.ds(0, S)] = jnp.where(
-                    valid_row_mask[:, :] > 0, newfr, _NEG)
+                    valid_row_mask > 0, newfr, _NEG)
 
             # masks for permute
-            for s in range(C):
-                swmask[s, 0] = jnp.where(src_has[s], 1.0, 0.0)   # has_src
-                mxm = nval[s]
-                rootmask[s, 0] = jnp.where(mxm, 1.0, 0.0)        # valid rows
-            has_src_mask = swmask
-            valid_row_mask = rootmask
+            has_src_mask = vec_col(
+                [jnp.where(src_has[s], 1.0, 0.0) for s in range(C)], 0.0)
+            valid_row_mask = vec_col(
+                [jnp.where(nval[s], 1.0, 0.0) for s in range(C)], 0.0)
             permute(st0, ps0, S0)
-            # rebuild beam map for axis1 (permute consumed onehot2)
-            onehot2[:, :] = jnp.zeros((CP, CP), jnp.float32)
-            for w in range(W):
-                onehot2[w, jnp.maximum(winners[w], 0)] = jnp.where(
-                    winner_ok[w], 1.0, 0.0)
             permute(st1, ps1, S1)
 
             # ---- commit new scalar fields ----
@@ -383,8 +404,8 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                 valid[s] = jnp.where(nval[s], 1, 0)
 
             # ---- sweep masks: all valid swept ----
-            for s in range(C):
-                swmask[s, 0] = jnp.where(valid[s] > 0, 1.0, 0.0)
+            swmask[:, :] = vec_col(
+                [jnp.where(valid[s] > 0, 1.0, 0.0) for s in range(C)], 0.0)
             swept_pred = [valid[t] > 0 for t in range(C)]
             build_parent_onehots(swept_pred)
 
@@ -395,10 +416,13 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             for s in range(C):
                 score[s] = jnp.where(valid[s] > 0, score[s] + mx[s, 0], _NEG)
 
-            # ---- provenance ----
-            prov_ref[0, 0] = stype
+            # ---- provenance (masked vector write into the 8-row block) ----
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            newrow = jnp.where(c8 == 0, stype, -1)
             for w in range(W):
-                prov_ref[0, 1 + w] = winners[w]
+                newrow = jnp.where(c8 == 1 + w, winners[w], newrow)
+            prov_ref[:, :] = jnp.where(r8 == (i % 8), newrow, prov_ref[:, :])
 
         # ==================================================================
         # CATCH-RUN steps
@@ -417,7 +441,8 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                         winner_ok[w] & (k1[s] == wk1[w]) & (k2[s] == wk2[w]))
                 seld = seld & (valid[s] > 0)
                 swl.append(seld)
-                swmask[s, 0] = jnp.where(seld, 1.0, 0.0)
+            swmask[:, :] = vec_col(
+                [jnp.where(x, 1.0, 0.0) for x in swl], 0.0)
             build_parent_onehots(swl)
 
             @pl.when(stype == C0RUN)
@@ -430,16 +455,22 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                 sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i],
                            Wst1, S1)
 
-            prov_ref[0, 0] = stype
-            for w in range(W):
-                prov_ref[0, 1 + w] = -1
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            newrow = jnp.where(c8 == 0, stype, -1)
+            prov_ref[:, :] = jnp.where(r8 == (i % 8), newrow, prov_ref[:, :])
 
         # ---- final outputs ----
         @pl.when(i == pl.num_programs(0) - 1)
         def _fin():
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            out = jnp.full((8, 128), _NEG, jnp.float32)
             for s in range(C):
-                fin_ref[0, s] = score[s]
-                fin_ref[1, s] = valid[s].astype(jnp.float32)
+                out = jnp.where((r8 == 0) & (c8 == s), score[s], out)
+                out = jnp.where(
+                    (r8 == 1) & (c8 == s), valid[s].astype(jnp.float32), out)
+            fin_ref[:, :] = out
 
     return kernel, C, CP, LAYERS, S0, S1
 
@@ -476,11 +507,11 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
         num_scalar_prefetch=5,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0)),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
         ],
         scratch_shapes=[
@@ -512,7 +543,7 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
     prov, fin = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((N, 8), jnp.int32),
+            jax.ShapeDtypeStruct((((N + 7) // 8) * 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -584,4 +615,5 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
         jnp.asarray(plan["b_hi"]),
         W, A, Wst0, Wst1, 128, interpret,
     )
-    return _traceback(np.asarray(prov), np.asarray(fin), W, A, alphabet)
+    prov = np.asarray(prov)[: len(plan["type"])]
+    return _traceback(prov, np.asarray(fin), W, A, alphabet)

@@ -50,8 +50,12 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
     CP = 32
     assert C <= CP
     LAYERS = W + 1
-    S0 = Wst0 + 2 * CH  # storage lanes incl. write slack
-    S1 = Wst1 + 2 * CH
+    # storage lanes: aligned shifting + aligned chunk writes need margins;
+    # the usable (history) window is S - CH lanes
+    S0 = ((Wst0 + 3 * CH + 127) // 128) * 128
+    S1 = ((Wst1 + 3 * CH + 127) // 128) * 128
+    WF0 = S0 - CH
+    WF1 = S1 - CH
 
     def kernel(type_ref, alo_ref, ahi_ref, blo_ref, bhi_ref,
                y1_ref, y2_ref,
@@ -68,8 +72,8 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
         # ------------------------------------------------------------------
         @pl.when(i == 0)
         def _init():
-            so_s[0] = 0
-            so_s[1] = 0
+            so_s[0] = -128
+            so_s[1] = -128
             st0[:, :] = jnp.full((CP, S0), _NEG, jnp.float32)
             ps0[:, :] = jnp.full((CP, S0), _NEG, jnp.float32)
             st1[:, :] = jnp.full((CP, S1), _NEG, jnp.float32)
@@ -90,7 +94,9 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                 valid[c] = 1
                 score[c] = 0.0
             # init values at t=0 (reference init at (0,0),(1,0)); vector
-            # writes since Mosaic forbids scalar stores to VMEM
+            # writes since Mosaic forbids scalar stores to VMEM.
+            # storage lane l holds time so + l with so = -128, so t=0 is
+            # lane 128 and t=-1 is lane 127.
             li0 = jax.lax.broadcasted_iota(jnp.int32, (CP, S0), 1)
             ro0 = jax.lax.broadcasted_iota(jnp.int32, (CP, S0), 0)
             acc0 = st0[:, :]
@@ -98,13 +104,10 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             ro1 = jax.lax.broadcasted_iota(jnp.int32, (CP, S1), 0)
             acc1 = st1[:, :]
             for c in range(A):
-                acc0 = jnp.where((ro0 == c) & (li0 == 1), y1_ref[c, 1], acc0)
-                acc1 = jnp.where((ro1 == c) & (li1 == 1), y2_ref[c, 1], acc1)
+                acc0 = jnp.where((ro0 == c) & (li0 == 128), y1_ref[c, 0], acc0)
+                acc1 = jnp.where((ro1 == c) & (li1 == 128), y2_ref[c, 0], acc1)
             st0[:, :] = acc0
             st1[:, :] = acc1
-            # NOTE: storage lane l holds time (so + l - 1) with so=0 -> lane
-            # 1 is t=0, lane 0 is t=-1 (kept -inf). This matches the y-plane
-            # convention and keeps seed reads at lo-1 >= -1 in bounds.
 
         # ==================================================================
         # scalar helpers (python-unrolled over C slots)
@@ -202,49 +205,71 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
         # vectorized sweep over one axis
         # ==================================================================
         def sweep_axis(st, ps, so_idx, y_ref, lo, hi, Wst, S):
+            """Aligned sweep: storage lane l <-> time so + l with so always a
+            multiple of 128; all dynamic lane offsets are 128-aligned.
+            ``Wst`` here is the usable history width (S - CH)."""
             so = so_s[so_idx]
-            new_so = jnp.maximum(so, hi - Wst)
-            new_so = jnp.minimum(new_so, lo - 1)
-            d = new_so - so
+            # anchor: keep if window fits, else minimal aligned right shift
+            need = hi - Wst  # new_so must be >= need
+            cand = ((need + 127) // 128) * 128  # align_up (need <= 0 safe)
+            new_so = jnp.maximum(so, cand)
+            d = new_so - so  # multiple of 128, >= 0
 
             @pl.when(d != 0)
             def _shift():
                 li = jax.lax.broadcasted_iota(jnp.int32, (CP, S), 1)
-                ok = (li >= jnp.maximum(-d, 0)) & (li < S - jnp.maximum(d, 0))
+                ok = li < S - d
                 st[:, :] = jnp.where(ok, pltpu.roll(st[:, :], -d, 1), _NEG)
                 ps[:, :] = jnp.where(ok, pltpu.roll(ps[:, :], -d, 1), _NEG)
 
             so_s[so_idx] = new_so
 
-            # seeds: own value at lo-1  (storage lane = t - so + 1)
-            seeds[:, :] = st[:, pl.ds(lo - 1 - new_so + 1, 1)]
+            ac0 = (lo // 128) * 128  # aligned chunk origin
+            width_al = hi - ac0
+            n_chunks = (width_al + CH - 1) // CH
+
+            # seeds: own value at lo-1, extracted from the two aligned
+            # 128-lane slices around it
+            pos0 = ac0 - new_so
+            pos_prev = jnp.maximum(pos0 - CH, 0)
+            catA = st[:, pl.ds(pos_prev, CH)]
+            catB = st[:, pl.ds(pos0, CH)]
+            cat = jnp.concatenate([catA, catB], axis=1)  # [CP, 2CH]
+            li2 = jax.lax.broadcasted_iota(jnp.int32, (CP, 2 * CH), 1)
+            tA = new_so + pos_prev
+            tcat = jnp.where(li2 < CH, tA + li2, new_so + pos0 + (li2 - CH))
+            seeds[:, :] = jnp.max(
+                jnp.where(tcat == lo - 1, cat, _NEG), axis=1, keepdims=True)
             seeds[:, :] = jnp.where(swmask[:, :] > 0, seeds[:, :], _NEG)
             mx[:, :] = jnp.full((CP, 1), _NEG, jnp.float32)
 
-            width = hi - lo
-            n_chunks = (width + CH - 1) // CH
-
             def chunk(kc, carry):
-                c_lo = lo + kc * CH
+                c_lo = ac0 + kc * CH
                 li = jax.lax.broadcasted_iota(jnp.int32, (CP, CH), 1)
                 t_abs = c_lo + li
                 in_m = jnp.where(
-                    (t_abs < hi) & (swmask[:, :] > 0), 1.0, 0.0)
+                    (t_abs >= lo) & (t_abs < hi) & (swmask[:, :] > 0),
+                    1.0, 0.0)
 
-                # emission rows by char (A-way select); y lane = t + 1
+                # emission rows by char (A-way select); y lane t <-> time t
                 em = jnp.full((CP, CH), _NEG, jnp.float32)
                 for c in range(A):
-                    row = y_ref[c:c + 1, pl.ds(c_lo + 1, CH)]
+                    row = y_ref[c:c + 1, pl.ds(c_lo, CH)]
                     em = jnp.where(chvec[:, :] == float(c), row, em)
-                gap = y_ref[A:A + 1, pl.ds(c_lo + 1, CH)]
+                gap = y_ref[A:A + 1, pl.ds(c_lo, CH)]
                 rootv = y_ref[A + 1:A + 2, pl.ds(c_lo, CH)]  # cum at t-1
 
-                # frozen parent values at t-1 (lane = t-1 - so + 1)
-                fro = ps[:, pl.ds(c_lo - new_so, CH)]
+                # frozen parent values at t-1: two aligned slices, static
+                # re-slice at offset CH-1
+                pos = c_lo - new_so
+                posp = jnp.maximum(pos - CH, 0)
+                fA = ps[:, pl.ds(posp, CH)]
+                fB = ps[:, pl.ds(pos, CH)]
+                fcat = jnp.concatenate([fA, fB], axis=1)
+                fro = jax.lax.slice_in_dim(fcat, CH - 1, 2 * CH - 1, axis=1)
                 fro_pos = (c_lo - 1 - new_so) + li
-                fro = jnp.where((fro_pos >= -1) & (fro_pos < Wst), fro, _NEG)
+                fro = jnp.where((fro_pos >= 0) & (fro_pos < Wst), fro, _NEG)
                 ext = jnp.where(rootmask[:, :] > 0, rootv, fro)
-                ext = jnp.where(pswept[:, :] > 0, _NEG, ext)
 
                 gapm = jnp.where(in_m > 0, gap, 0.0)
                 cg = gapm
@@ -260,7 +285,12 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                     pseed = jnp.dot(onehot[:, :], seeds[:, :],
                                     preferred_element_type=jnp.float32)
                     parsh = pltpu.roll(par, 1, 1)
+                    # lane 0: value carried from the previous chunk; the
+                    # window's first in-range lane (t == lo) needs the
+                    # parent's stored value at lo-1 (aligned chunks may
+                    # start before lo)
                     parsh = jnp.where(li == 0, pseed, parsh)
+                    parsh = jnp.where(t_abs == lo, pseed, parsh)
                     pv = jnp.where(pswept[:, :] > 0, parsh, ext)
                     E = jnp.where(in_m > 0, pv + em, _NEG)
                     X = E - cg
@@ -270,10 +300,9 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                         prev = jnp.where(li >= sh, pltpu.roll(run, sh, 1), _NEG)
                         run = jnp.logaddexp(run, prev)
                         sh *= 2
-                    p = cg + jnp.logaddexp(run, seeds[:, :])
-                    m = jnp.where(in_m > 0, p, _NEG)
+                    pfull = cg + jnp.logaddexp(run, seeds[:, :])
+                    m = jnp.where(in_m > 0, pfull, _NEG)
 
-                pos = c_lo - new_so + 1
                 old = st[:, pl.ds(pos, CH)]
                 st[:, pl.ds(pos, CH)] = jnp.where(in_m > 0, m, old)
 
@@ -281,15 +310,15 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                     mx[:, :],
                     jnp.max(jnp.where(in_m > 0, m, _NEG), axis=1,
                             keepdims=True))
+                # next-chunk seed: own value at the chunk's last column; keep
+                # the previous seed where that column was out of window
+                last_t = c_lo + CH - 1
                 new_seed = m[:, CH - 1:CH]
-                seeds[:, :] = jnp.where(swmask[:, :] > 0, new_seed, seeds[:, :])
+                take = (swmask[:, :] > 0) & (last_t >= lo) & (last_t < hi)
+                seeds[:, :] = jnp.where(take, new_seed, seeds[:, :])
                 return carry
 
             jax.lax.fori_loop(0, n_chunks, chunk, 0)
-
-            # clear write slack beyond the storage window
-            sl = jax.lax.broadcasted_iota(jnp.int32, (CP, S), 1)
-            st[:, :] = jnp.where(sl < Wst + 1, st[:, :], _NEG)
 
             # frozen-copy refresh for present parents
             pp = jnp.dot(onehot2[:, :], st[:, :],
@@ -409,10 +438,10 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             swept_pred = [valid[t] > 0 for t in range(C)]
             build_parent_onehots(swept_pred)
 
-            sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i], Wst0, S0)
+            sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i], WF0, S0)
             for s in range(C):
                 score[s] = jnp.where(valid[s] > 0, mx[s, 0], _NEG)
-            sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i], Wst1, S1)
+            sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i], WF1, S1)
             for s in range(C):
                 score[s] = jnp.where(valid[s] > 0, score[s] + mx[s, 0], _NEG)
 
@@ -448,12 +477,12 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             @pl.when(stype == C0RUN)
             def _r0():
                 sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i],
-                           Wst0, S0)
+                           WF0, S0)
 
             @pl.when(stype == C1RUN)
             def _r1():
                 sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i],
-                           Wst1, S1)
+                           WF1, S1)
 
             r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -480,16 +509,17 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 # --------------------------------------------------------------------------
 
 def _pack_plane(y: np.ndarray, CH: int = 128) -> np.ndarray:
-    """[T, A+1] log-probs -> [8, L] plane (chars+gap rows, cumsum row, one
-    leading pad column so lane t+1 holds time t; trailing pad so chunk
-    slices never run out of bounds; L rounded to a lane multiple)."""
+    """[T, A+1] log-probs -> [8, L] plane: rows 0..A-1 emissions at lane t,
+    row A gap at lane t, row A+1 cumulative gap at t-1 (lane t holds
+    cum(t-1); lane 0 = cum(-1) = 0). Trailing pad keeps aligned chunk
+    slices in bounds; L is a lane multiple."""
     T, S = y.shape
-    L = T + 1 + CH + 8
-    L = ((L + 127) // 128) * 128
+    L = ((T + CH + 8 + 127) // 128) * 128
     plane = np.full((8, L), _NEG, np.float32)
-    plane[:S, 1:T + 1] = y.T.astype(np.float32)
-    plane[S, 0] = 0.0  # cum(-1)
-    plane[S, 1:T + 1] = np.cumsum(y[:, -1]).astype(np.float32)
+    plane[:S, :T] = y.T.astype(np.float32)
+    cum = np.cumsum(y[:, -1]).astype(np.float32)
+    plane[S, 0] = 0.0
+    plane[S, 1:T + 1] = cum
     return plane
 
 

@@ -212,8 +212,8 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             # anchor: keep if window fits, else minimal aligned right shift
             need = hi - Wst  # new_so must be >= need
             cand = ((need + 127) // 128) * 128  # align_up (need <= 0 safe)
-            new_so = jnp.maximum(so, cand)
-            d = new_so - so  # multiple of 128, >= 0
+            new_so = pl.multiple_of(jnp.maximum(so, cand), 128)
+            d = pl.multiple_of(new_so - so, 128)  # >= 0
 
             @pl.when(d != 0)
             def _shift():
@@ -224,14 +224,14 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
             so_s[so_idx] = new_so
 
-            ac0 = (lo // 128) * 128  # aligned chunk origin
+            ac0 = pl.multiple_of((lo // 128) * 128, 128)  # aligned origin
             width_al = hi - ac0
             n_chunks = (width_al + CH - 1) // CH
 
             # seeds: own value at lo-1, extracted from the two aligned
             # 128-lane slices around it
-            pos0 = ac0 - new_so
-            pos_prev = jnp.maximum(pos0 - CH, 0)
+            pos0 = pl.multiple_of(jnp.maximum(ac0 - new_so, 0), 128)
+            pos_prev = pl.multiple_of(jnp.maximum(pos0 - CH, 0), 128)
             catA = st[:, pl.ds(pos_prev, CH)]
             catB = st[:, pl.ds(pos0, CH)]
             cat = jnp.concatenate([catA, catB], axis=1)  # [CP, 2CH]
@@ -244,7 +244,7 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             mx[:, :] = jnp.full((CP, 1), _NEG, jnp.float32)
 
             def chunk(kc, carry):
-                c_lo = ac0 + kc * CH
+                c_lo = pl.multiple_of(ac0 + kc * CH, 128)
                 li = jax.lax.broadcasted_iota(jnp.int32, (CP, CH), 1)
                 t_abs = c_lo + li
                 in_m = jnp.where(
@@ -261,8 +261,8 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
                 # frozen parent values at t-1: two aligned slices, static
                 # re-slice at offset CH-1
-                pos = c_lo - new_so
-                posp = jnp.maximum(pos - CH, 0)
+                pos = pl.multiple_of(c_lo - new_so, 128)
+                posp = pl.multiple_of(jnp.maximum(pos - CH, 0), 128)
                 fA = ps[:, pl.ds(posp, CH)]
                 fB = ps[:, pl.ds(pos, CH)]
                 fcat = jnp.concatenate([fA, fB], axis=1)
@@ -633,16 +633,33 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
 
     w0 = np.where(plan["type"] != PC1, plan["a_hi"] - plan["a_lo"], 0)
     w1 = np.where(plan["type"] != PC0, plan["b_hi"] - plan["b_lo"], 0)
-    Wst0 = int(max(w0.max(), 1)) + 2
-    Wst1 = int(max(w1.max(), 1)) + 2
+    # bucket static config so one compilation serves many problem sizes
+    def bucket(x, buckets=(384, 768, 1536, 3072)):
+        for b in buckets:
+            if x <= b:
+                return b
+        return ((x + 1023) // 1024) * 1024
+
+    Wst0 = bucket(int(max(w0.max(), 1)) + 2)
+    Wst1 = bucket(int(max(w1.max(), 1)) + 2)
+
+    N = len(plan["type"])
+    N_pad = ((N + 511) // 512) * 512
+    def padp(a, fill):
+        return np.concatenate([a, np.full(N_pad - N, fill, a.dtype)])
+    ptype = padp(plan["type"], PC0)      # zero-width catch-run = no-op
+    alo = padp(plan["a_lo"], 0)
+    ahi = padp(plan["a_hi"], 0)
+    blo = padp(plan["b_lo"], 0)
+    bhi = padp(plan["b_hi"], 0)
 
     y1p = jnp.asarray(_pack_plane(y1))
     y2p = jnp.asarray(_pack_plane(y2))
     prov, fin = _run_kernel(
         y1p, y2p,
-        jnp.asarray(plan["type"]), jnp.asarray(plan["a_lo"]),
-        jnp.asarray(plan["a_hi"]), jnp.asarray(plan["b_lo"]),
-        jnp.asarray(plan["b_hi"]),
+        jnp.asarray(ptype), jnp.asarray(alo),
+        jnp.asarray(ahi), jnp.asarray(blo),
+        jnp.asarray(bhi),
         W, A, Wst0, Wst1, 128, interpret,
     )
     prov = np.asarray(prov)[: len(plan["type"])]

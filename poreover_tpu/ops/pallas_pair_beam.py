@@ -57,8 +57,7 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
     WF0 = S0 - CH
     WF1 = S1 - CH
 
-    def kernel(type_ref, alo_ref, ahi_ref, blo_ref, bhi_ref,
-               y1_ref, y2_ref,
+    def kernel(y1_ref, y2_ref, plan_ref,
                prov_ref, fin_ref,
                st0, ps0, st1, ps1,
                k1, k2, pk1, pk2, chs, pchs, valid, score,
@@ -67,7 +66,20 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
                onehot, onehot2,
                mx, seeds, tmp):
         i = pl.program_id(0)
-        stype = type_ref[i]
+        # plan scalars: aligned block load + masked-reduce extraction
+        # (dynamic-lane scalar VMEM loads are not supported by Mosaic)
+        _pb = pl.multiple_of((i // 128) * 128, 128)
+        _pcol = i - _pb
+        _pmat = plan_ref[0:8, pl.ds(_pb, 128)]
+        _psel = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == _pcol
+        )
+        _pvals = jnp.sum(jnp.where(_psel, _pmat, 0), axis=1)
+        stype = _pvals[0]
+        alo_i = _pvals[1]
+        ahi_i = _pvals[2]
+        blo_i = _pvals[3]
+        bhi_i = _pvals[4]
 
         # ------------------------------------------------------------------
         @pl.when(i == 0)
@@ -217,10 +229,23 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
             @pl.when(d != 0)
             def _shift():
-                li = jax.lax.broadcasted_iota(jnp.int32, (CP, S), 1)
-                ok = li < S - d
-                st[:, :] = jnp.where(ok, pltpu.roll(st[:, :], -d, 1), _NEG)
-                ps[:, :] = jnp.where(ok, pltpu.roll(ps[:, :], -d, 1), _NEG)
+                # left-shift storage/frozen planes by d (multiple of 128)
+                # via block copies through tmp (dynamic roll on scratch
+                # miscompiles on hardware)
+                nblk = S // CH
+                for ref in (st, ps):
+                    for j in range(nblk):
+                        src = pl.multiple_of(j * CH + d, 128)
+
+                        @pl.when(src <= S - CH)
+                        def _cp(j=j, src=src, ref=ref):
+                            tmp[:, j * CH:(j + 1) * CH] = ref[:, pl.ds(src, CH)]
+
+                        @pl.when(src > S - CH)
+                        def _fill(j=j, ref=ref):
+                            tmp[:, j * CH:(j + 1) * CH] = jnp.full(
+                                (CP, CH), _NEG, jnp.float32)
+                    ref[:, :] = tmp[:, pl.ds(0, S)]
 
             so_s[so_idx] = new_so
 
@@ -438,10 +463,10 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             swept_pred = [valid[t] > 0 for t in range(C)]
             build_parent_onehots(swept_pred)
 
-            sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i], WF0, S0)
+            sweep_axis(st0, ps0, 0, y1_ref, alo_i, ahi_i, WF0, S0)
             for s in range(C):
                 score[s] = jnp.where(valid[s] > 0, mx[s, 0], _NEG)
-            sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i], WF1, S1)
+            sweep_axis(st1, ps1, 1, y2_ref, blo_i, bhi_i, WF1, S1)
             for s in range(C):
                 score[s] = jnp.where(valid[s] > 0, score[s] + mx[s, 0], _NEG)
 
@@ -476,13 +501,11 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
             @pl.when(stype == C0RUN)
             def _r0():
-                sweep_axis(st0, ps0, 0, y1_ref, alo_ref[i], ahi_ref[i],
-                           WF0, S0)
+                sweep_axis(st0, ps0, 0, y1_ref, alo_i, ahi_i, WF0, S0)
 
             @pl.when(stype == C1RUN)
             def _r1():
-                sweep_axis(st1, ps1, 1, y2_ref, blo_ref[i], bhi_ref[i],
-                           WF1, S1)
+                sweep_axis(st1, ps1, 1, y2_ref, blo_i, bhi_i, WF1, S1)
 
             r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -533,16 +556,27 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
     kernel, C, CP, LAYERS, S0, S1 = _build_kernel(W, A, Wst0, Wst1, CH)
     N = ptype.shape[0]
 
+    # plan packed into a VMEM input (the SMEM scalar-prefetch space is only
+    # ~1MB and full-read plans exceed it)
+    Lp = ((N + 127) // 128) * 128
+    plan_mat = jnp.zeros((8, Lp), jnp.int32)
+    plan_mat = plan_mat.at[0, :N].set(ptype)
+    plan_mat = plan_mat.at[1, :N].set(alo)
+    plan_mat = plan_mat.at[2, :N].set(ahi)
+    plan_mat = plan_mat.at[3, :N].set(blo)
+    plan_mat = plan_mat.at[4, :N].set(bhi)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=0,
         grid=(N,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0)),
-            pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((CP, S0), jnp.float32),  # st0
@@ -581,7 +615,7 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ) if not interpret else None,
-    )(ptype, alo, ahi, blo, bhi, y1p, y2p)
+    )(y1p, y2p, plan_mat)
     return prov, fin
 
 

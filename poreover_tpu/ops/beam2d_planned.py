@@ -387,9 +387,11 @@ def _refresh_psweep(fields_or_cand, storage, st_off, psweep, poff):
     return new_psweep, new_poff
 
 
-@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1"))
+@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1",
+                                   "return_state"))
 def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
-                  model_id: int, W: int, A: int, Wst0: int, Wst1: int):
+                  model_id: int, W: int, A: int, Wst0: int, Wst1: int,
+                  return_state: bool = False):
     C = W * (A + 1)
     dtype = y1.dtype
     pad = CHUNK + 2
@@ -499,6 +501,9 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
         step, cand0, (plan_type, a_lo, a_hi, b_lo, b_hi)
     )
 
+    if return_state:
+        return final
+
     keep = _dedup_mask(final["k1"], final["k2"], final["valid"])
     scores = jnp.where(keep, final["score"], _NEG_INF)
     top_idx = jnp.argmax(scores)
@@ -514,6 +519,44 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
     j0, chars = jax.lax.scan(back, top_idx, (beam_srcs, is_main), reverse=True)
     first_char = jnp.where(j0 >= W, (j0 - W) % A, -1)
     return first_char, chars
+
+
+def debug_state_after(y1, y2, envelope, n_steps=None, beam_width=5,
+                      alphabet="ACGT", model="ctc"):
+    """Run the planned scan truncated to the first n_steps plan steps and
+    return the final candidate table (numpy dict) — differential-test hook."""
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    U, V = len(y1), len(y2)
+    A = len(alphabet)
+    model_id = _MODEL_IDS[model]
+    env = np.asarray(envelope, dtype=np.int64)[:U]
+    env_t = transpose_envelope(env, U, V)
+    plan = plan_walk(env, env_t, U, V)
+    # Wst config from the full plan; truncation pads back to full length with
+    # zero-width catch-runs (score/key no-ops) so one compile serves every n
+    w0 = np.where(plan["type"] != C1RUN, plan["a_hi"] - plan["a_lo"], 0)
+    w1 = np.where(plan["type"] != C0RUN, plan["b_hi"] - plan["b_lo"], 0)
+    Wst0 = int(max(w0.max(), 1)) + 2
+    Wst1 = int(max(w1.max(), 1)) + 2
+    if n_steps is not None:
+        N_full = len(plan["type"])
+        plan = {k: v[:n_steps] for k, v in plan.items()}
+        npad = N_full - len(plan["type"])
+        fills = dict(type=C0RUN, a_lo=0, a_hi=0, b_lo=0, b_hi=0)
+        plan = {
+            k: np.concatenate([v, np.full(npad, fills[k], v.dtype)])
+            for k, v in plan.items()
+        }
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    final = _planned_scan(
+        jnp.asarray(y1, dtype), jnp.asarray(y2, dtype),
+        jnp.asarray(plan["type"]), jnp.asarray(plan["a_lo"]),
+        jnp.asarray(plan["a_hi"]), jnp.asarray(plan["b_lo"]),
+        jnp.asarray(plan["b_hi"]),
+        model_id, beam_width, A, Wst0, Wst1, return_state=True,
+    )
+    return {k: np.asarray(v) for k, v in final.items()}
 
 
 def beam_search_2d_planned(y1, y2, envelope, beam_width=5, alphabet="ACGT",

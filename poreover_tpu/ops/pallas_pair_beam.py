@@ -42,6 +42,17 @@ _M1 = np.uint32(2654435761)
 _M2 = np.uint32(40503)
 
 
+
+def _dotx(a, b, preferred_element_type=jnp.float32):
+    """Exact f32 matmul: default TPU dot truncates inputs to bf16, which
+    corrupts one-hot gathers/permutes of log-prob planes (probe-confirmed
+    error ~1.0 at magnitude ~200); HIGHEST precision is bit-exact."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=preferred_element_type,
+    )
+
 def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -58,7 +69,7 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
     WF1 = S1 - CH
 
     def kernel(y1_ref, y2_ref, plan_ref,
-               prov_ref, fin_ref,
+               prov_ref, fin_ref, fini_ref,
                st0, ps0, st1, ps1,
                k1, k2, pk1, pk2, chs, pchs, valid, score,
                so_s,
@@ -305,9 +316,9 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
                 m = jnp.full((CP, CH), _NEG, jnp.float32)
                 for _layer in range(LAYERS):
-                    par = jnp.dot(onehot[:, :], m,
+                    par = _dotx(onehot[:, :], m,
                                   preferred_element_type=jnp.float32)
-                    pseed = jnp.dot(onehot[:, :], seeds[:, :],
+                    pseed = _dotx(onehot[:, :], seeds[:, :],
                                     preferred_element_type=jnp.float32)
                     parsh = pltpu.roll(par, 1, 1)
                     # lane 0: value carried from the previous chunk; the
@@ -346,7 +357,7 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
             # frozen-copy refresh for present parents
-            pp = jnp.dot(onehot2[:, :], st[:, :],
+            pp = _dotx(onehot2[:, :], st[:, :],
                          preferred_element_type=jnp.float32)
             ps[:, :] = jnp.where(psmask[:, :] > 0, pp, ps[:, :])
 
@@ -424,14 +435,14 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
             def permute(st, ps, S):
                 # storage permute
-                tmp[:, pl.ds(0, S)] = jnp.dot(
+                tmp[:, pl.ds(0, S)] = _dotx(
                     onehot[:, :], st[:, pl.ds(0, S)],
                     preferred_element_type=jnp.float32)
                 # frozen rows: beam rows from old frozen, child rows from
                 # parent's old storage
-                fr_beam = jnp.dot(beam_map, ps[:, pl.ds(0, S)],
+                fr_beam = _dotx(beam_map, ps[:, pl.ds(0, S)],
                                   preferred_element_type=jnp.float32)
-                fr_child = jnp.dot(child_map, st[:, pl.ds(0, S)],
+                fr_child = _dotx(child_map, st[:, pl.ds(0, S)],
                                    preferred_element_type=jnp.float32)
                 newfr = jnp.where(pswept[:, :] > 0, fr_child, fr_beam)
                 st[:, pl.ds(0, S)] = jnp.where(
@@ -518,11 +529,20 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
             r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
             out = jnp.full((8, 128), _NEG, jnp.float32)
+            outi = jnp.zeros((8, 128), jnp.int32)
             for s in range(C):
                 out = jnp.where((r8 == 0) & (c8 == s), score[s], out)
                 out = jnp.where(
                     (r8 == 1) & (c8 == s), valid[s].astype(jnp.float32), out)
+                outi = jnp.where((r8 == 0) & (c8 == s), k1[s], outi)
+                outi = jnp.where((r8 == 1) & (c8 == s), k2[s], outi)
+                outi = jnp.where((r8 == 2) & (c8 == s), pk1[s], outi)
+                outi = jnp.where((r8 == 3) & (c8 == s), pk2[s], outi)
+                outi = jnp.where((r8 == 4) & (c8 == s), chs[s], outi)
+                outi = jnp.where((r8 == 5) & (c8 == s), pchs[s], outi)
+                outi = jnp.where((r8 == 6) & (c8 == s), valid[s], outi)
             fin_ref[:, :] = out
+            fini_ref[:, :] = outi
 
     return kernel, C, CP, LAYERS, S0, S1
 
@@ -577,6 +597,7 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
         out_specs=[
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0)),
             pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((CP, S0), jnp.float32),  # st0
@@ -604,11 +625,12 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
             pltpu.VMEM((CP, max(S0, S1)), jnp.float32),  # tmp
         ],
     )
-    prov, fin = pl.pallas_call(
+    prov, fin, fini = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((((N + 7) // 8) * 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -616,7 +638,7 @@ def _run_kernel(y1p, y2p, ptype, alo, ahi, blo, bhi,
             dimension_semantics=("arbitrary",),
         ) if not interpret else None,
     )(y1p, y2p, plan_mat)
-    return prov, fin
+    return prov, fin, fini
 
 
 def _traceback(prov: np.ndarray, fin: np.ndarray, W: int, A: int,
@@ -649,7 +671,9 @@ def _traceback(prov: np.ndarray, fin: np.ndarray, W: int, A: int,
 
 
 def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
-                     alphabet: str = "ACGT", interpret: bool = False) -> str:
+                     alphabet: str = "ACGT", interpret: bool = False,
+                     n_steps: int | None = None,
+                     return_state: bool = False) -> str:
     """Pallas-kernel row_col pair beam search (plain CTC)."""
     from .beam2d_planned import C0RUN as PC0, C1RUN as PC1, plan_walk
     from .beam2d_rowcol import transpose_envelope
@@ -665,6 +689,8 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
     if len(plan["type"]) == 0:
         return ""
 
+    # Wst / padding config always from the FULL plan so a truncated debug
+    # run (n_steps) reuses the same compiled kernel
     w0 = np.where(plan["type"] != PC1, plan["a_hi"] - plan["a_lo"], 0)
     w1 = np.where(plan["type"] != PC0, plan["b_hi"] - plan["b_lo"], 0)
     # bucket static config so one compilation serves many problem sizes
@@ -677,8 +703,10 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
     Wst0 = bucket(int(max(w0.max(), 1)) + 2)
     Wst1 = bucket(int(max(w1.max(), 1)) + 2)
 
+    N_pad = ((len(plan["type"]) + 511) // 512) * 512
+    if n_steps is not None:
+        plan = {k: v[:n_steps] for k, v in plan.items()}
     N = len(plan["type"])
-    N_pad = ((N + 511) // 512) * 512
     def padp(a, fill):
         return np.concatenate([a, np.full(N_pad - N, fill, a.dtype)])
     ptype = padp(plan["type"], PC0)      # zero-width catch-run = no-op
@@ -689,12 +717,21 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
 
     y1p = jnp.asarray(_pack_plane(y1))
     y2p = jnp.asarray(_pack_plane(y2))
-    prov, fin = _run_kernel(
+    prov, fin, fini = _run_kernel(
         y1p, y2p,
         jnp.asarray(ptype), jnp.asarray(alo),
         jnp.asarray(ahi), jnp.asarray(blo),
         jnp.asarray(bhi),
         W, A, Wst0, Wst1, 128, interpret,
     )
+    if return_state:
+        fini = np.asarray(fini)
+        fin = np.asarray(fin)
+        C = W * (A + 1)
+        return dict(
+            score=fin[0, :C], k1=fini[0, :C], k2=fini[1, :C],
+            pk1=fini[2, :C], pk2=fini[3, :C], char=fini[4, :C],
+            pchar=fini[5, :C], valid=fini[6, :C] > 0,
+        )
     prov = np.asarray(prov)[: len(plan["type"])]
     return _traceback(prov, np.asarray(fin), W, A, alphabet)

@@ -17,10 +17,16 @@ Extra context metrics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the Pallas mega-kernel takes minutes to
+# compile cold; cached recompiles are seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def build_workload():
@@ -60,12 +66,13 @@ def main() -> None:
     print(f"# tpu warm-up (incl. compile): {warm:.2f}s", file=sys.stderr)
 
     runs = 3
-    t0 = time.time()
+    tpu_time = float("inf")
     for _ in range(runs):
+        t0 = time.time()
         seq_tpu = beam_search_2d(
             y1, y2, envelope=env, beam_width=5, method="row_col"
         )
-    tpu_time = (time.time() - t0) / runs
+        tpu_time = min(tpu_time, time.time() - t0)
     print(
         f"# tpu consensus: {tpu_time:.2f}s/pair, len={len(seq_tpu)}, "
         f"{cells / tpu_time / 1e6:.2f}M cells/s",
@@ -73,16 +80,31 @@ def main() -> None:
     )
 
     # ---- CPU baseline: same algorithm class, single core ----
-    from poreover_tpu.native import pair_beam_row_col_cpu
+    from poreover_tpu.native import (
+        pair_beam_row_col_cpu,
+        pair_beam_row_col_cpu_emul,
+    )
 
-    # measure on a prefix slice and extrapolate linearly in envelope cells
-    # if the full run would take too long
-    t0 = time.time()
-    seq_cpu = pair_beam_row_col_cpu(y1, y2, env, beam_width=5)
-    cpu_time = time.time() - t0
+    cpu_time = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        seq_cpu = pair_beam_row_col_cpu(y1, y2, env, beam_width=5)
+        cpu_time = min(cpu_time, time.time() - t0)
+    # exactness oracle: f64 trie decoder restricted to the TPU engines'
+    # windowed-table memo semantics — the TPU output must equal this
+    # byte-for-byte; vs the unbounded-memo trie the output may differ at
+    # isolated near-ties (here: 1 char in ~6.5k)
+    seq_emul = pair_beam_row_col_cpu_emul(y1, y2, env, beam_width=5)
+    from poreover_tpu.native import global_pair_banded
+
+    a1, a2 = global_pair_banded(seq_cpu, seq_tpu)
+    ident = sum(x == z for x, z in zip(a1, a2)) / max(len(a1), 1)
     print(
         f"# cpu baseline: {cpu_time:.2f}s/pair, len={len(seq_cpu)}, "
-        f"match={'yes' if seq_cpu == seq_tpu else 'NO'}",
+        f"match={'yes' if seq_cpu == seq_tpu else 'NO'} "
+        f"(windowed-semantics f64 oracle match="
+        f"{'yes' if seq_emul == seq_tpu else 'NO'}, "
+        f"trie-vs-tpu aligned identity~{ident:.4f})",
         file=sys.stderr,
     )
 

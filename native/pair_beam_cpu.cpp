@@ -35,6 +35,12 @@ struct PairNode {
   std::vector<PairNode*> children;
   // per-read forward memo keyed by time index
   std::unordered_map<int, double> prob[2];
+  // eviction snapshot (emulation mode only): values frozen when the node
+  // last left the candidate table, read by children's emit terms
+  std::unordered_map<int, double> frozen[2];
+  bool in_table = true;
+  bool tracked = false;
+  int absent = 0;
   double max_prob[2] = {kNegInf, kNegInf};
 
   PairNode(int c, PairNode* p)
@@ -46,6 +52,12 @@ struct PairNode {
   double at(int i, int t) const {
     auto it = prob[i].find(t);
     return it == prob[i].end() ? kNegInf : it->second;
+  }
+  // parent-emit read with eviction-snapshot fallback (emulation mode)
+  double at_emit(int i, int t) const {
+    if (in_table) return at(i, t);
+    auto it = frozen[i].find(t);
+    return it == frozen[i].end() ? kNegInf : it->second;
   }
   void set(int i, int t, double v) {
     prob[i][t] = v;
@@ -86,9 +98,13 @@ struct PairSearch {
     return n->children;
   }
 
+  bool emulate = false;  // emulation mode: windowed/evicting memo semantics
+
   void update(PairNode* n, int i, int t) {
     const double* row = y[i] + static_cast<size_t>(t) * (A + 1);
-    double emit = n->parent->at(i, t - 1) + row[n->last];
+    double pval = emulate ? n->parent->at_emit(i, t - 1)
+                          : n->parent->at(i, t - 1);
+    double emit = pval + row[n->last];
     double stay = n->at(i, t - 1) + row[A];
     n->set(i, t, lse(emit, stay));
   }
@@ -112,11 +128,14 @@ extern "C" {
 // y1/y2: row-major [U, A+1]/[V, A+1] log-probs (blank last);
 // envelope: [U, 2] int64 rows [start, end). Returns consensus length;
 // writes sequence into out (caller allocates U+V+1).
-int pair_beam_row_col_cpu(const double* y1, int U, const double* y2, int V,
-                          const int64_t* envelope, int beam_width,
-                          char* out) {
+int pair_beam_row_col_cpu_impl(const double* y1, int U, const double* y2,
+                               int V, const int64_t* envelope, int beam_width,
+                               char* out, bool emulate, int grace = 1) {
   const int A = 4;
   PairSearch search(y1, U, y2, V, A);
+  search.emulate = emulate;
+  // nodes currently in the candidate table (emulation mode)
+  std::vector<PairNode*> table_nodes;
 
   // envelope transpose (column ranges)
   std::vector<int64_t> col_lo(V, -1), col_hi(V, -1);
@@ -138,6 +157,7 @@ int pair_beam_row_col_cpu(const double* y1, int U, const double* y2, int V,
     search.update(n, 0, 0);
     search.update(n, 1, 0);
     beam.push_back(n);
+    table_nodes.push_back(n);
   }
 
   int64_t u = 0, v = 0;
@@ -185,6 +205,38 @@ int pair_beam_row_col_cpu(const double* y1, int U, const double* y2, int V,
 
     std::sort(beam.begin(), beam.end());
     beam.erase(std::unique(beam.begin(), beam.end()), beam.end());
+    if (emulate) {
+      // windowed-table emulation: a node absent from the candidate table
+      // for `grace` consecutive prunes loses its live memo (its children
+      // keep reading an eviction snapshot) — mirrors the TPU engines'
+      // fixed-shape candidate storage (+ optional graveyard of depth
+      // grace-1)
+      std::unordered_map<PairNode*, bool> keep;
+      for (auto* n : beam) keep[n] = true;
+      std::vector<PairNode*> still;
+      for (auto* n : table_nodes) {
+        if (keep.count(n)) continue;  // re-added below
+        ++n->absent;
+        if (n->absent >= grace) {
+          for (int i = 0; i < 2; ++i) {
+            n->frozen[i] = std::move(n->prob[i]);
+            n->prob[i].clear();
+          }
+          n->in_table = false;
+          n->tracked = false;
+        } else {
+          still.push_back(n);
+        }
+      }
+      table_nodes.clear();
+      for (auto* n : beam) {
+        n->absent = 0;
+        n->in_table = true;
+        n->tracked = true;
+        table_nodes.push_back(n);
+      }
+      for (auto* n : still) table_nodes.push_back(n);
+    }
     std::sort(beam.begin(), beam.end(), [](PairNode* a, PairNode* b) {
       return a->max_prob[0] + a->max_prob[1] > b->max_prob[0] + b->max_prob[1];
     });
@@ -197,6 +249,30 @@ int pair_beam_row_col_cpu(const double* y1, int U, const double* y2, int V,
   std::memcpy(out, seq.data(), seq.size());
   out[seq.size()] = '\0';
   return (int)seq.size();
+}
+
+int pair_beam_row_col_cpu(const double* y1, int U, const double* y2, int V,
+                          const int64_t* envelope, int beam_width,
+                          char* out) {
+  return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
+                                    false);
+}
+
+// debug/diagnostic: windowed-table memo semantics (see emulate above)
+int pair_beam_row_col_cpu_emul(const double* y1, int U, const double* y2,
+                               int V, const int64_t* envelope, int beam_width,
+                               char* out) {
+  return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
+                                    true, 1);
+}
+
+// same, with an eviction grace period (graveyard depth = grace - 1)
+int pair_beam_row_col_cpu_emul_grace(const double* y1, int U,
+                                     const double* y2, int V,
+                                     const int64_t* envelope, int beam_width,
+                                     int grace, char* out) {
+  return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
+                                    true, grace);
 }
 
 }  // extern "C"

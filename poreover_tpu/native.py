@@ -69,6 +69,10 @@ def load():
         ndpointer(_np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int, ctypes.c_char_p,
     ]
+    lib.pair_beam_row_col_cpu_emul.restype = ctypes.c_int
+    lib.pair_beam_row_col_cpu_emul.argtypes = (
+        lib.pair_beam_row_col_cpu.argtypes
+    )
     _lib = lib
     return _lib
 
@@ -101,6 +105,25 @@ def pair_beam_row_col_cpu(y1, y2, envelope, beam_width: int = 5) -> str:
     env = np.ascontiguousarray(envelope, dtype=np.int64)
     out = ctypes.create_string_buffer(len(y1) + len(y2) + 1)
     n = lib.pair_beam_row_col_cpu(
+        y1, len(y1), y2, len(y2), env, beam_width, out
+    )
+    return out.value[:n].decode()
+
+
+def pair_beam_row_col_cpu_emul(y1, y2, envelope, beam_width: int = 5) -> str:
+    """Diagnostic: CPU pair beam with the TPU engines' windowed-table memo
+    semantics (evicted nodes lose live history; children read an eviction
+    snapshot). Used to attribute TPU-vs-C++ output differences."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    y1 = np.ascontiguousarray(y1, dtype=np.float64)
+    y2 = np.ascontiguousarray(y2, dtype=np.float64)
+    env = np.ascontiguousarray(envelope, dtype=np.int64)
+    out = ctypes.create_string_buffer(len(y1) + len(y2) + 1)
+    n = lib.pair_beam_row_col_cpu_emul(
         y1, len(y1), y2, len(y2), env, beam_width, out
     )
     return out.value[:n].decode()

@@ -466,7 +466,19 @@ def beam_search_2d(
         raise ValueError(f"unsupported 2D beam method {method!r}")
 
     if method == "row_col":
-        # plan-driven fast path (identical semantics; see beam2d_planned)
+        # plan-driven fast path (identical semantics; see beam2d_planned).
+        # On TPU hardware the plain-CTC config runs as a single Pallas
+        # mega-kernel (~4x faster than the lax.scan engine; byte-identical
+        # output, differential-tested).
+        if (
+            model == "ctc"
+            and envelope is not None
+            and not jax.config.jax_enable_x64
+            and jax.default_backend() == "tpu"
+        ):
+            from .pallas_pair_beam import pair_beam_pallas
+
+            return pair_beam_pallas(y1, y2, envelope, beam_width, alphabet)
         from .beam2d_planned import beam_search_2d_planned
 
         return beam_search_2d_planned(y1, y2, envelope, beam_width, alphabet, model)

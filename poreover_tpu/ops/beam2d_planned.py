@@ -559,6 +559,89 @@ def debug_state_after(y1, y2, envelope, n_steps=None, beam_width=5,
     return {k: np.asarray(v) for k, v in final.items()}
 
 
+@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1"))
+def _planned_scan_batch(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
+                        model_id: int, W: int, A: int, Wst0: int, Wst1: int):
+    """vmap of _planned_scan over a leading batch axis (reads/s throughput
+    path: many pairs per chip, the TPU equivalent of the reference's
+    per-pair multiprocessing Pool — reference pair_decode.py:292-297)."""
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g: _planned_scan(
+            a, b, c, d, e, f, g, model_id=model_id, W=W, A=A,
+            Wst0=Wst0, Wst1=Wst1,
+        )
+    )(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi)
+
+
+def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
+                                 model="ctc") -> list[str]:
+    """Batched plan-driven row_col pair beam search.
+
+    pairs: list of (y1, y2, envelope). Pads plans (zero-width catch-runs),
+    trace lengths, and window-storage widths to shared shapes, then decodes
+    every pair in one vmapped scan.
+    """
+    A = len(alphabet)
+    model_id = _MODEL_IDS[model]
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    plans = []
+    for y1, y2, envelope in pairs:
+        y1 = np.asarray(y1)
+        y2 = np.asarray(y2)
+        U, V = len(y1), len(y2)
+        if envelope is None:
+            envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
+        env = np.asarray(envelope, dtype=np.int64)[:U]
+        env_t = transpose_envelope(env, U, V)
+        plans.append(plan_walk(env, env_t, U, V))
+
+    N_max = max(len(p["type"]) for p in plans)
+    T1 = max(len(p[0]) for p in pairs)
+    T2 = max(len(p[1]) for p in pairs)
+    w0 = max(
+        int(np.where(p["type"] != C1RUN, p["a_hi"] - p["a_lo"], 0).max())
+        for p in plans
+    )
+    w1 = max(
+        int(np.where(p["type"] != C0RUN, p["b_hi"] - p["b_lo"], 0).max())
+        for p in plans
+    )
+    Wst0 = max(w0, 1) + 2
+    Wst1 = max(w1, 1) + 2
+
+    fills = dict(type=C0RUN, a_lo=0, a_hi=0, b_lo=0, b_hi=0)
+
+    def padp(p):
+        n = N_max - len(p["type"])
+        return {
+            k: np.concatenate([v, np.full(n, fills[k], v.dtype)])
+            for k, v in p.items()
+        }
+
+    def pady(y, T):
+        y = np.asarray(y, np.float64)
+        return np.pad(y, ((0, T - len(y)), (0, 0)), constant_values=LOG_0)
+
+    plans = [padp(p) for p in plans]
+    y1b = jnp.asarray(np.stack([pady(p[0], T1) for p in pairs]), dtype)
+    y2b = jnp.asarray(np.stack([pady(p[1], T2) for p in pairs]), dtype)
+    stack = lambda k: jnp.asarray(np.stack([p[k] for p in plans]))
+
+    first_char, chars = _planned_scan_batch(
+        y1b, y2b, stack("type"), stack("a_lo"), stack("a_hi"),
+        stack("b_lo"), stack("b_hi"),
+        model_id, beam_width, A, Wst0, Wst1,
+    )
+    first_char = np.asarray(first_char)
+    chars = np.asarray(chars)
+    out = []
+    for b in range(len(pairs)):
+        cs = [int(first_char[b])] + [int(c) for c in chars[b]]
+        out.append("".join(alphabet[c] for c in cs if c >= 0))
+    return out
+
+
 def beam_search_2d_planned(y1, y2, envelope, beam_width=5, alphabet="ACGT",
                            model="ctc") -> str:
     """Plan-driven row_col pair beam search (fast path)."""

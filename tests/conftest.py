@@ -19,5 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# Set POREOVER_TPU_TESTS=1 to run the hardware (Pallas) tests on a real TPU
+# instead of the virtual CPU mesh: `POREOVER_TPU_TESTS=1 pytest tests/test_pallas.py`
+if not os.environ.get("POREOVER_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

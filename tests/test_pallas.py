@@ -1,0 +1,76 @@
+"""Differential tests for the Pallas TPU pair-beam kernels.
+
+Run on real TPU hardware with:
+    POREOVER_TPU_TESTS=1 python -m pytest tests/test_pallas.py -v
+
+Skipped on the default CPU test mesh (the kernels are Mosaic/TPU-only).
+Both kernels must reproduce the XLA planned engine byte-for-byte: the XLA
+engine is itself validated against the f64 windowed-semantics C++ oracle
+(native/pair_beam_cpu.cpp emulate mode) and the enumeration oracles.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Pallas TPU kernels need real TPU hardware "
+    "(set POREOVER_TPU_TESTS=1 on a TPU machine)",
+)
+
+rng = np.random.default_rng(7)
+
+
+def softmax_log(T, S=5):
+    x = rng.normal(size=(T, S)) * 2
+    return (x - np.log(np.exp(x).sum(1, keepdims=True))).astype(np.float32)
+
+
+def cases():
+    out = []
+    for (U, V) in [(40, 300), (60, 50), (25, 25)]:
+        y1, y2 = softmax_log(U), softmax_log(V)
+        env = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
+        out.append((y1, y2, env))
+    U, V = 80, 90
+    y1, y2 = softmax_log(U), softmax_log(V)
+    env = np.stack(
+        [np.clip(np.arange(U) - 10, 0, V - 1),
+         np.clip(np.arange(U) + 15, 1, V)], axis=1
+    ).astype(np.int64)
+    out.append((y1, y2, env))
+    return out
+
+
+@pytest.fixture(scope="module")
+def refs():
+    from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
+
+    cs = cases()
+    return cs, [beam_search_2d_planned(y1, y2, env, beam_width=5)
+                for y1, y2, env in cs]
+
+
+def test_single_kernel_matches_xla(refs):
+    from poreover_tpu.ops.pallas_pair_beam import pair_beam_pallas
+
+    cs, expected = refs
+    for (y1, y2, env), exp in zip(cs, expected):
+        assert pair_beam_pallas(y1, y2, env, beam_width=5) == exp
+
+
+def test_batch_kernel_matches_xla_b1(refs):
+    from poreover_tpu.ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+
+    cs, expected = refs
+    for c, exp in zip(cs, expected):
+        assert pair_beam_pallas_batch([c], beam_width=5)[0] == exp
+
+
+def test_batch_kernel_matches_xla_b4(refs):
+    from poreover_tpu.ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+
+    cs, expected = refs
+    outs = pair_beam_pallas_batch(cs, beam_width=5)
+    assert outs == expected

@@ -263,3 +263,56 @@ def beam_search_2d_row_col_replica(
     if return_beam_trace:
         return tree.label(beam[0]), trace, tree, beam
     return tree.label(beam[0])
+
+
+def beam_search_2d_grid_replica(
+    y1, y2, alphabet="ACGT", beam_width=5, model="ctc", envelope=None,
+):
+    """Exact port of beam_search_2d_grid (reference BeamSearch2.h:33-184):
+    one beam per lattice cell (u, v) with previous beam = (u-1, v-1), all
+    beams sharing the global per-node memo trie; node_greater comparator
+    (last probability, Beam.h:10-18). Quadratic in the lattice / envelope
+    size, like the reference — the reference itself hides this method
+    behind a suppressed flag as a benchmark control (__main__.py:89)."""
+    tree = Tree2D(y1, y2, alphabet, model)
+    U, V = len(y1), len(y2)
+
+    empty_beam = []
+    for n in tree.expand(tree.root):
+        tree.update(n, 0, 0)
+        tree.update(n, 1, 0)
+        empty_beam.append(n)
+
+    if envelope is None:
+        env = [(0, V)] * U
+    else:
+        env = [(int(a), int(b)) for a, b in envelope]
+
+    # beams stored per cell; with an envelope, cells outside a row's range
+    # fall back to the init beam (SparseMatrix default, BeamSearch2.h:135)
+    beams = {}
+    for u in range(U):
+        row_start, row_end = env[u]
+        for v in range(row_start, row_end):
+            this_beam = []
+            prev_beam = (
+                beams.get((u - 1, v - 1), empty_beam)
+                if (u > 0 and v > 0)
+                else empty_beam
+            )
+            for n in prev_beam:
+                tree.update(n, 0, u)
+                tree.update(n, 1, v)
+                this_beam.append(n)
+                for ch in tree.expand(n):
+                    tree.update(ch, 0, u)
+                    tree.update(ch, 1, v)
+                    this_beam.append(ch)
+            uniq = list(dict.fromkeys(this_beam))
+            uniq.sort(
+                key=lambda n: n.last_prob[0] + n.last_prob[1], reverse=True
+            )
+            beams[(u, v)] = uniq[:beam_width]
+
+    top = beams.get((U - 1, V - 1), empty_beam)[0]
+    return tree.label(top)

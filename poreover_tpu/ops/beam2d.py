@@ -462,8 +462,34 @@ def beam_search_2d(
     U, V = len(y1), len(y2)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    if method not in ("row", "row_col", "row_col_steps"):
+    if method not in ("row", "row_col", "row_col_steps", "grid"):
         raise ValueError(f"unsupported 2D beam method {method!r}")
+
+    if method == "grid":
+        # per-cell-beam variant (reference BeamSearch2.h:33-184) — the
+        # reference keeps a beam PER LATTICE CELL and hides this method
+        # behind a suppressed benchmark-control flag (__main__.py:89); its
+        # global-memo trie is inherently scalar/sequential, so it runs as
+        # an exact host-side implementation with the reference's own
+        # quadratic cost. Guarded like the reference's pair-decode box
+        # memory cap (pair_decode.py:189-201).
+        if envelope is None:
+            cells = U * V
+        else:
+            env_g = np.asarray(envelope, dtype=np.int64)[:U]
+            cells = int(np.sum(np.maximum(env_g[:, 1], 0)
+                               - np.maximum(env_g[:, 0], 0)))
+        if cells > 10_000_000:
+            raise MemoryError(
+                f"grid method over {cells} lattice cells exceeds the "
+                "10M-cell guard (one beam per cell); use method='row_col'"
+            )
+        from ..decoding.replica2d import beam_search_2d_grid_replica
+
+        return beam_search_2d_grid_replica(
+            y1, y2, alphabet=alphabet, beam_width=beam_width, model=model,
+            envelope=envelope,
+        )
 
     if method == "row_col":
         # plan-driven fast path (identical semantics; see beam2d_planned).

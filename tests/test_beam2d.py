@@ -41,7 +41,7 @@ def test_2d_flipflop_matches_replica():
     on this profile — the C++ math gives 'AAA' (score -4.63) over 'AAAA'
     (-5.76). We pin the vectorized kernel against an exact hashmap replica
     of the reference semantics instead."""
-    from replica2d import beam_search_2d_by_row_replica
+    from poreover_tpu.decoding.replica2d import beam_search_2d_by_row_replica
 
     y = np.array(
         [
@@ -62,7 +62,7 @@ def test_2d_flipflop_matches_replica():
 
 def test_2d_random_profiles_match_replica():
     """Vectorized kernel vs exact replica across models and envelopes."""
-    from replica2d import beam_search_2d_by_row_replica
+    from poreover_tpu.decoding.replica2d import beam_search_2d_by_row_replica
 
     rng = np.random.default_rng(17)
     for model, S in (("ctc", 3), ("ctc_merge_repeats", 3), ("ctc_flipflop", 4)):
@@ -79,7 +79,7 @@ def test_2d_random_profiles_match_replica():
 
 
 def test_2d_envelope_random_matches_replica():
-    from replica2d import beam_search_2d_by_row_replica
+    from poreover_tpu.decoding.replica2d import beam_search_2d_by_row_replica
 
     rng = np.random.default_rng(23)
     y1 = rng.random((8, 3))
@@ -135,7 +135,7 @@ class TestRealTrace:
 
 class TestRowCol:
     def test_rowcol_random_matches_replica(self):
-        from replica2d import beam_search_2d_row_col_replica
+        from poreover_tpu.decoding.replica2d import beam_search_2d_row_col_replica
 
         rng = np.random.default_rng(31)
         for model, S in (("ctc", 3), ("ctc_merge_repeats", 3), ("ctc_flipflop", 4)):
@@ -172,7 +172,7 @@ class TestRowCol:
         assert seq == joint.top_label()[0]
 
     def test_rowcol_real_trace_vs_replica(self):
-        from replica2d import beam_search_2d_row_col_replica
+        from poreover_tpu.decoding.replica2d import beam_search_2d_row_col_replica
         from poreover_tpu.io.trace import model_from_trace
 
         m = model_from_trace("/root/reference/tests/poreover.csv")
@@ -215,7 +215,7 @@ class TestPlanned:
     """Plan-driven fast path vs replica and the step-driven kernel."""
 
     def test_planned_random_matches_replica(self):
-        from replica2d import beam_search_2d_row_col_replica
+        from poreover_tpu.decoding.replica2d import beam_search_2d_row_col_replica
         from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
 
         rng = np.random.default_rng(47)
@@ -249,3 +249,39 @@ class TestPlanned:
         r_cpu = pair_beam_row_col_cpu(y1s, y2s, envs, beam_width=5)
         r_p = beam_search_2d_planned(y1s, y2s, envs, beam_width=5)
         assert r_cpu == r_p
+
+
+class TestGridMethod:
+    """method='grid' — per-cell beams (reference BeamSearch2.h:33-184)."""
+
+    def test_grid_joint_oracle_toy(self):
+        y1 = Y_TOY
+        y2 = np.array(
+            [[0.7, 0.2, 0.1], [0.2, 0.3, 0.5], [0.7, 0.2, 0.1],
+             [0.05, 0.05, 0.9]]
+        )
+        seq = beam_search_2d(
+            np.log(y1), np.log(y2), beam_width=25, alphabet="AB",
+            method="grid",
+        )
+        joint = JointProfile(
+            CTCProfile(y1, ("A", "B", "")), CTCProfile(y2, ("A", "B", ""))
+        )
+        assert seq == joint.top_label()[0]
+
+    def test_grid_envelope_equals_dense_on_full_band(self):
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(6, 5)) * 2
+        y = np.exp(x) / np.exp(x).sum(1, keepdims=True)
+        ylog = np.log(y)
+        env = np.tile(np.array([0, 6]), (6, 1))
+        dense = beam_search_2d(ylog, ylog, beam_width=5, method="grid")
+        banded = beam_search_2d(
+            ylog, ylog, envelope=env, beam_width=5, method="grid"
+        )
+        assert dense == banded
+
+    def test_grid_cell_guard(self):
+        y = np.zeros((4000, 5))
+        with pytest.raises(MemoryError):
+            beam_search_2d(y, y, beam_width=5, method="grid")

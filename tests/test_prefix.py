@@ -104,3 +104,36 @@ def test_pair_prefix_search_envelope_matches_dense():
     full_env = pair_prefix_search_log(y1, y2, envelope=env)
     assert dense[0] == full_env[0]
     assert np.isclose(dense[1], full_env[1])
+
+
+class TestBacktrackSearch:
+    """Heap prefix search (reference search_backtrack.py:28-106)."""
+
+    def test_matches_enumeration_top_label(self):
+        from oracles import CTCProfile
+        from poreover_tpu.ops.search_backtrack import prefix_search_backtrack
+
+        y = np.array(
+            [[0.6, 0.3, 0.1], [0.1, 0.2, 0.7], [0.2, 0.6, 0.2],
+             [0.05, 0.05, 0.9]]
+        )
+        prof = CTCProfile(y, ("A", "B", ""))
+        exp_label, exp_p = prof.top_label()
+        label, p = prefix_search_backtrack(np.log(y), alphabet="AB",
+                                           max_backtrack=4)
+        assert label == exp_label
+        assert np.isclose(p, np.log(exp_p), atol=1e-6)
+
+    def test_agrees_with_greedy_prefix_search(self):
+        from poreover_tpu.ops.prefix import prefix_search_log
+        from poreover_tpu.ops.search_backtrack import prefix_search_backtrack
+
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            x = rng.normal(size=(12, 5)) * 2
+            y = np.log(np.exp(x) / np.exp(x).sum(1, keepdims=True))
+            lab_g, p_g = prefix_search_log(y)
+            lab_b, p_b = prefix_search_backtrack(y, max_backtrack=12)
+            # backtracking explores a superset of the greedy path; its
+            # winner must be at least as probable
+            assert p_b >= p_g - 1e-9

@@ -54,7 +54,7 @@ def _dotx(a, b):
 
 
 def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
-                  L1: int, L2: int):
+                  L1: int, L2: int, K: int = 1, NTOT: int = 0):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -76,7 +76,21 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                so_s, ohP, ohFro, ohG, ohG2,
                seeds, mx0s, mx, tmp, bridge):
-        i = pl.program_id(0)
+        for _k in range(K):
+            _step_body(pl.program_id(0) * K + _k,
+                       y1_ref, y2_ref, plan_ref,
+                       prov_ref, sco_ref, val_ref,
+                       st0, ps0, st1, ps1,
+                       K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+                       so_s, ohP, ohFro, ohG, ohG2,
+                       seeds, mx0s, mx, tmp, bridge)
+
+    def _step_body(i, y1_ref, y2_ref, plan_ref,
+                   prov_ref, sco_ref, val_ref,
+                   st0, ps0, st1, ps1,
+                   K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+                   so_s, ohP, ohFro, ohG, ohG2,
+                   seeds, mx0s, mx, tmp, bridge):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
         prow = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 0)
@@ -545,7 +559,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                            jnp.where(lane32 == 127, stv, -1))
         prov_ref[:, :] = jnp.where(prow32 == i % 32, newrow, prov_ref[:, :])
 
-        @pl.when(i == pl.num_programs(0) - 1)
+        @pl.when(i == NTOT - 1)
         def _fin():
             sco_ref[:, :] = SCO[:, :]
             val_ref[:, :] = jnp.where(VAL[:, :] > 0, 1, 0)
@@ -565,26 +579,27 @@ def _pack_plane(y: np.ndarray, L: int) -> np.ndarray:
 
 
 @partial(jax.jit,
-         static_argnames=("B", "W", "A", "Wst0", "Wst1", "CH", "L1", "L2"))
+         static_argnames=("B", "W", "A", "Wst0", "Wst1", "CH", "L1", "L2",
+                          "K"))
 def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
-                Wst0: int, Wst1: int, CH: int, L1: int, L2: int):
+                Wst0: int, Wst1: int, CH: int, L1: int, L2: int, K: int = 1):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel, C, CP, PB, BC, S0, S1 = _build_kernel(B, W, A, Wst0, Wst1, CH,
-                                                  L1, L2)
     N = plan_mat.shape[1]
+    kernel, C, CP, PB, BC, S0, S1 = _build_kernel(B, W, A, Wst0, Wst1, CH,
+                                                  L1, L2, K=K, NTOT=N)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(N,),
+        grid=(N // K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((32 * PB, 128), lambda i: (i // 32, 0)),
+            pl.BlockSpec((32 * PB, 128), lambda o: ((o * K) // 32, 0)),
             pl.BlockSpec((PB, 128), lambda i: (0, 0)),
             pl.BlockSpec((PB, 128), lambda i: (0, 0)),
         ],
@@ -654,7 +669,8 @@ def _traceback(prov_b: np.ndarray, sco: np.ndarray, valid: np.ndarray,
 
 
 def pair_beam_pallas_batch(pairs, beam_width: int = 5,
-                           alphabet: str = "ACGT") -> list[str]:
+                           alphabet: str = "ACGT",
+                           steps_per_grid: int = 1) -> list[str]:
     """Batched Pallas row_col pair beam search (plain CTC).
 
     pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
@@ -721,7 +737,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
 
     prov, sco, valid = _run_kernel(
         jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat),
-        B, W, A, Wst0, Wst1, CH, L1, L2)
+        B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid)
     PB = max(B, 8)
     prov = np.asarray(prov).reshape(N_pad, PB, 128)
     sco = np.asarray(sco)

@@ -9,11 +9,22 @@ Stages per pair (mirroring reference poreover/decoding/pair_decode.py:305-529):
 
 Skip rules and the TSV summary log match the reference: length mismatch
 > 1000 bases (pair_decode.py:372-375), pairwise identity < 0.5 (:395-398).
+
+Deprecated reference surfaces are kept for parity: ``--method split``
+(diagonal boxes, pair_decode.py:337-354), ``--method align`` (anchor boxes,
+:510-522 via 4-coordinate boxes :460-476), ``--debug`` pickling (:454-465,
+:482-490).
+
+TPU scale-out: with a pairs file, ``--threads N`` decodes N pairs in
+lockstep through one batched Pallas kernel launch per wave — the TPU-native
+equivalent of the reference's ``multiprocessing.Pool(args.threads)``
+(pair_decode.py:292-297).
 """
 from __future__ import annotations
 
 import logging
 import os
+import pickle
 import sys
 from pathlib import Path
 
@@ -28,6 +39,9 @@ from . import envelope as envelope_mod
 log = logging.getLogger("poreover_tpu")
 
 LOG_COLUMNS = ["read1", "read2", "length1", "length2", "sequence_identity", "skipped"]
+
+# reference pair_decode.py:190 — refuse prefix-search boxes above 1 GB
+MEM_LIMIT = 1_000_000_000
 
 
 def get_sequence_mapping(path, kind: str):
@@ -99,8 +113,9 @@ def get_anchors(alignment, matches: int, indels: int):
 
 
 def _consensus_fn(args, kind: str):
-    """Pick the consensus decoding function (reference parallel_decoder,
-    pair_decode.py:144-228)."""
+    """Pick the envelope consensus decoding function (reference
+    parallel_decoder._beam_search_2d_envelope / _prefix_search_2d_envelope,
+    pair_decode.py:166-173, 210-215)."""
     model_string = MODEL_STRING[kind]
 
     if args.algorithm == "beam":
@@ -132,7 +147,74 @@ def _consensus_fn(args, kind: str):
     raise ValueError(f"unknown pair algorithm {args.algorithm!r}")
 
 
-def pair_decode_helper(args):
+def _consensus_box_fn(args, kind: str):
+    """Dense-box consensus function for the deprecated --method split/align
+    (reference parallel_decoder._beam_search_2d / _prefix_search_2d,
+    pair_decode.py:149-164, 188-209). Returns fn(y1, y2, b, b_tot,
+    u1, u2, v1, v2) -> (u1, sequence)."""
+    model_string = MODEL_STRING[kind]
+
+    def decode_1d(y):
+        from ..ops.prefix import prefix_search_log
+
+        return prefix_search_log(np.asarray(y))[0]
+
+    def fn(y1, y2, b, b_tot, u1, u2, v1, v2):
+        size = (u2 - u1 + 1) * (v2 - v1 + 1)
+        print(
+            f"\t {b}/{b_tot} Basecalling box {u1}-{u2}x{v1}-{v2} "
+            f"(size: {size} elements)...",
+            file=sys.stderr,
+        )
+        if size <= 1:
+            return (u1, "")
+        if (u2 - u1) < 1:
+            return (u1, decode_1d(y2[v1:v2]))
+        if (v2 - v1) < 1:
+            return (u1, decode_1d(y1[u1:u2]))
+        if args.algorithm == "beam":
+            from ..ops.beam2d import beam_search_2d
+
+            # dense box; reference default traversal is "row"
+            # (decoding_cpp.pyx:107 method_="row")
+            return (
+                u1,
+                beam_search_2d(
+                    y1[u1:u2], y2[v1:v2],
+                    beam_width=args.beam_width, model=model_string,
+                    method="row",
+                ),
+            )
+        assert model_string == "ctc"
+        if size * 8 > MEM_LIMIT:
+            log.error(
+                "Box too large to basecall %d-%d:%d-%d (size: %d elements)",
+                u1, u2, v1, v2, size,
+            )
+            return (u1, "")
+        from ..ops.pair_prefix import pair_prefix_search_log
+
+        try:
+            return (u1, pair_prefix_search_log(y1[u1:u2], y2[v1:v2])[0])
+        except Exception:
+            log.warning(
+                "Error while basecalling box %d-%d:%d-%d", u1, u2, v1, v2
+            )
+            return (u1, "")
+
+    return fn
+
+
+def pair_decode_helper(args, _workload_sink=None):
+    """Decode one pair.
+
+    ``_workload_sink``: optional callable — when the pair reaches the
+    standard envelope consensus stage (method=envelope, no skip_matches /
+    debug_envelope), the prepared (y1, y2, envelope) workload plus a
+    ``finish(joined_basecalls)`` continuation are handed to the sink and
+    this function returns None. pair_decode uses this to batch many pairs'
+    stage 4 into one TPU kernel launch.
+    """
     in_path = list(getattr(args, "in"))
     assert len(in_path) == 2, "exactly two reads are required"
 
@@ -152,8 +234,33 @@ def pair_decode_helper(args):
         model2.reverse_complement()
     assert model1.kind == model2.kind
 
-    decoding_fn = _consensus_fn(args, model1.kind)
     summary = {"read1": in_path[0], "read2": in_path[1]}
+    y1 = model1.log_prob
+    y2 = model2.log_prob
+
+    # ---- deprecated --method split: diagonal boxes, no 1D stage ----
+    # (reference pair_decode.py:337-354)
+    if args.method == "split":
+        box_fn = _consensus_box_fn(args, model1.kind)
+        box_ranges = []
+        u_step = args.window
+        for u in range(u_step, U, u_step):
+            box_ranges.append(
+                (u - u_step, u, int(V / U * (u - u_step)), int(V / U * u))
+            )
+        box_ranges.append((box_ranges[-1][1], U, box_ranges[-1][3], V))
+        basecalls = [
+            box_fn(y1, y2, i, len(box_ranges) - 1, *b)
+            for i, b in enumerate(box_ranges)
+        ]
+        joined_basecalls = "".join(b[1] for b in basecalls)
+        return (
+            fasta_format(
+                f"consensus;{args.method};{path1.stem};{path2.stem}",
+                joined_basecalls,
+            ),
+            summary,
+        )
 
     alignment = None
     if not args.diagonal_envelope:
@@ -219,8 +326,90 @@ def pair_decode_helper(args):
                 else:
                     alignment_to_sequence[s, i] = alignment_to_sequence[s, i - 1] + 1
 
-    y1 = model1.log_prob
-    y2 = model2.log_prob
+    # ---- anchor boxes for --skip_matches / --method align ----
+    # (reference pair_decode.py:412-452: 4-coordinate boxes over both axes)
+    if args.skip_matches or args.method == "align":
+        anchor_ranges, anchor_type = get_anchors(
+            alignment, matches=args.skip_threshold, indels=100
+        )
+        assert len(anchor_ranges) > 0, (
+            "No matches/indels of sufficient length found in alignment"
+        )
+        basecall_boxes = []
+        basecall_anchors = []
+        for i, (curr_start, curr_end) in enumerate(anchor_ranges):
+            if anchor_type[i] == "ins":
+                anchor_seq = "".join(alignment[1, curr_start:curr_end])
+            else:  # 'mat' and 'del' both take read 1's letters
+                anchor_seq = "".join(alignment[0, curr_start:curr_end])
+            basecall_anchors.append(
+                (sequence_to_signal1[alignment_to_sequence[0, curr_start]], anchor_seq)
+            )
+            if i > 0:
+                basecall_boxes.append(
+                    (
+                        sequence_to_signal1[
+                            alignment_to_sequence[0, anchor_ranges[i - 1][1]]
+                        ],
+                        sequence_to_signal1[alignment_to_sequence[0, curr_start]],
+                        sequence_to_signal2[
+                            alignment_to_sequence[1, anchor_ranges[i - 1][1]]
+                        ],
+                        sequence_to_signal2[alignment_to_sequence[1, curr_start]],
+                    )
+                )
+            else:
+                basecall_boxes.append(
+                    (
+                        0,
+                        sequence_to_signal1[alignment_to_sequence[0, curr_start]],
+                        0,
+                        sequence_to_signal2[alignment_to_sequence[1, curr_start]],
+                    )
+                )
+        basecall_boxes.append(
+            (
+                sequence_to_signal1[alignment_to_sequence[0, anchor_ranges[-1][1]]],
+                U,
+                sequence_to_signal2[alignment_to_sequence[1, anchor_ranges[-1][1]]],
+                V,
+            )
+        )
+        assert abs(len(basecall_boxes) - len(basecall_anchors)) == 1
+
+        if args.debug:
+            with open("debug.p", "wb") as pfile:
+                pickle.dump(
+                    {
+                        "alignment_to_sequence": alignment_to_sequence,
+                        "sequence_to_signal1": sequence_to_signal1,
+                        "sequence_to_signal2": sequence_to_signal2,
+                        "alignment": alignment,
+                        "basecall_boxes": basecall_boxes,
+                        "basecall_anchors": basecall_anchors,
+                        "anchor_ranges": anchor_ranges,
+                    },
+                    pfile,
+                )
+
+        # ---- deprecated --method align: decode anchor boxes densely ----
+        if args.method == "align":
+            box_fn = _consensus_box_fn(args, model1.kind)
+            basecalls = [
+                box_fn(y1, y2, i, len(basecall_boxes) - 1, *b)
+                for i, b in enumerate(basecall_boxes)
+            ]
+            joined_basecalls = "".join(
+                s for _, s in sorted(basecalls + basecall_anchors)
+            )
+            return (
+                fasta_format(in_path[0], basecall1)
+                + fasta_format(in_path[1], basecall2),
+                fasta_format(
+                    f"consensus;{path1.stem};{path2.stem}", joined_basecalls
+                ),
+                summary,
+            )
 
     # ---- stage 3: envelope ----
     if args.diagonal_envelope:
@@ -228,6 +417,17 @@ def pair_decode_helper(args):
             U, V, args.diagonal_width
         )
     else:
+        if args.debug:
+            with open("debug.p", "wb") as pfile:
+                pickle.dump(
+                    {
+                        "alignment_to_sequence": alignment_to_sequence,
+                        "sequence_to_signal1": sequence_to_signal1,
+                        "sequence_to_signal2": sequence_to_signal2,
+                        "alignment": alignment,
+                    },
+                    pfile,
+                )
         alignment_col = envelope_mod.get_alignment_columns(alignment)
         alignment_envelope = envelope_mod.build_envelope(
             y1, y2, alignment_col, sequence_to_signal1, sequence_to_signal2,
@@ -243,51 +443,31 @@ def pair_decode_helper(args):
         )
         return ({"skipped": 1},)
 
+    def _format_result(joined_basecalls):
+        if args.diagonal_envelope:
+            return (
+                fasta_format(
+                    f"consensus;{path1.stem};{path2.stem}", joined_basecalls
+                ),
+                summary,
+            )
+        return (
+            fasta_format(in_path[0], basecall1) + fasta_format(in_path[1], basecall2),
+            fasta_format(f"consensus;{path1.stem};{path2.stem}", joined_basecalls),
+            summary,
+        )
+
     # ---- stage 4: consensus ----
+    decoding_fn = _consensus_fn(args, model1.kind)
     if not args.skip_matches:
+        if _workload_sink is not None:
+            _workload_sink((y1, y2, alignment_envelope), _format_result)
+            return None
         joined_basecalls = decoding_fn(y1, y2, alignment_envelope)
     else:
-        anchor_ranges, anchor_type = get_anchors(
-            alignment, matches=args.skip_threshold, indels=100
-        )
-        assert len(anchor_ranges) > 0, (
-            "No matches/indels of sufficient length found in alignment"
-        )
-        basecall_boxes = []
-        basecall_anchors = []
-        for i, (curr_start, curr_end) in enumerate(anchor_ranges):
-            if anchor_type[i] == "mat":
-                anchor_seq = "".join(alignment[0, curr_start:curr_end])
-            elif anchor_type[i] == "ins":
-                anchor_seq = "".join(alignment[1, curr_start:curr_end])
-            else:
-                anchor_seq = "".join(alignment[0, curr_start:curr_end])
-            basecall_anchors.append(
-                (sequence_to_signal1[alignment_to_sequence[0, curr_start]], anchor_seq)
-            )
-            if i > 0:
-                basecall_boxes.append(
-                    (
-                        sequence_to_signal1[
-                            alignment_to_sequence[0, anchor_ranges[i - 1][1]]
-                        ],
-                        sequence_to_signal1[alignment_to_sequence[0, curr_start]],
-                    )
-                )
-            else:
-                basecall_boxes.append(
-                    (0, sequence_to_signal1[alignment_to_sequence[0, curr_start]])
-                )
-        basecall_boxes.append(
-            (
-                sequence_to_signal1[
-                    alignment_to_sequence[0, anchor_ranges[-1][1]]
-                ],
-                U,
-            )
-        )
         basecalls = []
-        for b0, b1 in basecall_boxes:
+        for b in basecall_boxes:
+            b0, b1 = b[0], b[1]
             env_slice = alignment_envelope[b0:b1]
             if len(env_slice) == 0:
                 continue
@@ -299,17 +479,45 @@ def pair_decode_helper(args):
             s for _, s in sorted(basecalls + basecall_anchors)
         )
 
-    if args.diagonal_envelope:
-        return (
-            fasta_format(
-                f"consensus;{path1.stem};{path2.stem}", joined_basecalls
-            ),
-            summary,
+    return _format_result(joined_basecalls)
+
+
+def _batched_consensus(workloads, args, kind: str):
+    """Decode many prepared (y1, y2, envelope) consensus workloads in
+    lockstep waves of ``args.threads`` through one batched kernel launch per
+    wave — the TPU-native replacement for the reference's per-pair process
+    pool. On TPU hardware the wave runs as the batched Pallas mega-kernel;
+    elsewhere as the vmapped XLA engine (identical output, tested)."""
+    import jax
+
+    if jax.default_backend() == "tpu" and not jax.config.jax_enable_x64:
+        from ..ops.pallas_pair_beam_batch import pair_beam_pallas_batch as batch_fn
+    else:
+        from ..ops.beam2d_planned import beam_search_2d_planned_batch as batch_fn
+
+    wave = max(int(args.threads), 1)
+    out: list[str] = []
+    for i in range(0, len(workloads), wave):
+        chunk = workloads[i : i + wave]
+        log.info(
+            "consensus wave %d-%d/%d (one batched kernel launch)",
+            i, i + len(chunk), len(workloads),
         )
+        out.extend(batch_fn(chunk, beam_width=args.beam_width))
+    return out
+
+
+def _batchable(args, kind: str) -> bool:
+    """The batched Pallas kernel covers the default configuration:
+    plain-CTC row_col envelope beam search."""
     return (
-        fasta_format(in_path[0], basecall1) + fasta_format(in_path[1], basecall2),
-        fasta_format(f"consensus;{path1.stem};{path2.stem}", joined_basecalls),
-        summary,
+        args.algorithm == "beam"
+        and args.beam_search_method == "row_col"
+        and kind == "poreover"
+        and not args.skip_matches
+        and args.method == "envelope"
+        and not getattr(args, "debug_envelope", False)
+        and args.threads > 1
     )
 
 
@@ -326,12 +534,16 @@ def pair_decode(args) -> None:
         print("# " + str(vars(args)), file=log_f)
         print("# " + "\t".join(LOG_COLUMNS), file=log_f)
         log.info("found %d read pairs in %s", len(pairs), in_path[0])
-        for pair in pairs:
-            import copy
 
-            args_copy = copy.copy(args)
-            setattr(args_copy, "in", pair)
-            result = pair_decode_helper(args_copy)
+        kind = {"poreover": "poreover", "bonito": "bonito",
+                "guppy": "flipflop", "flappie": "flipflop"}.get(
+                    args.basecaller, args.basecaller)
+        batching = _batchable(args, kind)
+        pending: list[tuple] = []  # (workload, finish) awaiting batched stage 4
+
+        def emit(result):
+            if result is None:
+                return
             if len(result) == 3:
                 print(result[0], file=out_1d)
                 print(result[1], file=out_2d)
@@ -350,6 +562,20 @@ def pair_decode(args) -> None:
                     "\t".join(str(result[0].get(k, "")) for k in LOG_COLUMNS),
                     file=log_f,
                 )
+
+        import copy
+
+        sink = (lambda wl, finish: pending.append((wl, finish))) if batching else None
+        for pair in pairs:
+            args_copy = copy.copy(args)
+            setattr(args_copy, "in", pair)
+            emit(pair_decode_helper(args_copy, _workload_sink=sink))
+
+        if pending:
+            seqs = _batched_consensus([wl for wl, _ in pending], args, kind)
+            for (wl, finish), seq in zip(pending, seqs):
+                emit(finish(seq))
+
         out_1d.close()
         out_2d.close()
         log_f.close()

@@ -53,6 +53,58 @@ def _dotx(a, b):
     )
 
 
+def _split3(x):
+    """Exact 3-term bf16 decomposition of f32: x == hi + mid + lo.
+
+    f32 has a 24-bit mantissa; each bf16 term captures 8 bits, and every
+    residual is exactly representable (<= 8 significant bits), so the split
+    is lossless."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dotb(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _gather(oh_ref, terms, BC: int):
+    """Exact block-diagonal one-hot gather: out = oh @ x.
+
+    ``terms`` is _split3(x). The one-hot matrix only connects rows within a
+    pair's 32-row block, so it is stored with group-local columns [BC, 128]
+    (row r selects among the 128 rows of its own group); only diagonal tile
+    groups are multiplied — a full [BC,BC] dot costs (BC/128)^2 MXU tiles
+    and made batch cost quadratic in B. Each selected product is exact in
+    bf16 (one-hot times an exact bf16 term), and hi+mid+lo re-sums to the
+    exact f32 payload, so this is bit-identical to a HIGHEST f32 dot at 3
+    diagonal bf16 passes instead of 6 full-size ones."""
+    hi, mid, lo = terms
+    G = 128
+    outs = []
+    for g0 in range(0, BC, G):
+        g1 = min(g0 + G, BC)
+        ohg = oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16)
+        acc = (_dotb(ohg, hi[g0:g1]) + _dotb(ohg, mid[g0:g1])
+               + _dotb(ohg, lo[g0:g1]))
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _gather_f32(oh_ref, x, BC: int):
+    """Grouped block-diagonal one-hot gather at HIGHEST f32, for payloads
+    too narrow for bf16 tiling (e.g. [BC, 1] seeds)."""
+    G = 128
+    outs = []
+    for g0 in range(0, BC, G):
+        g1 = min(g0 + G, BC)
+        outs.append(_dotx(oh_ref[g0:g1, 0:g1 - g0], x[g0:g1]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                   L1: int, L2: int, K: int = 1, NTOT: int = 0):
     import jax.experimental.pallas as pl
@@ -97,8 +149,11 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         rr = jax.lax.broadcasted_iota(jnp.int32, (BC, 1), 0)
         rblk = rr // CP
         rslot = rr - rblk * CP
-        ccol = jax.lax.broadcasted_iota(jnp.int32, (BC, BC), 1)
-        crow = jax.lax.broadcasted_iota(jnp.int32, (BC, BC), 0)
+        # one-hot matrices use group-local columns: row r's pair block sits
+        # at column base ((r % 128) // CP) * CP of r's 128-row group
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 1)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 0)
+        cloc = (crow % 128) // CP * CP
         in_batch = prow < B
 
         # ---- per-pair plan scalars ----
@@ -327,23 +382,23 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         pswept_r = jnp.where(par_r >= 0, 1.0, 0.0)
         psmask_r = jnp.where(par2_r >= 0, 1.0, 0.0)
 
-        # ---- block-diagonal one-hot matrices ----
-        tgt = ccol - (crow // CP) * CP
-        same_blk = (ccol // CP) == (crow // CP)
-        ohP[:, :] = jnp.where(same_blk & (tgt == src_r) & (src_r >= 0),
+        # ---- block-diagonal one-hot matrices (group-local columns) ----
+        ohP[:, :] = jnp.where((ccol == cloc + src_r) & (src_r >= 0),
                               1.0, 0.0)
         ohFro[:, :] = jnp.where(
-            same_blk & (tgt == fro_src_r) & (fro_src_r >= 0), 1.0, 0.0)
-        ohG[:, :] = jnp.where(same_blk & (tgt == par_r) & (par_r >= 0),
+            (ccol == cloc + fro_src_r) & (fro_src_r >= 0), 1.0, 0.0)
+        ohG[:, :] = jnp.where((ccol == cloc + par_r) & (par_r >= 0),
                               1.0, 0.0)
-        ohG2[:, :] = jnp.where(same_blk & (tgt == par2_r) & (par2_r >= 0),
+        ohG2[:, :] = jnp.where((ccol == cloc + par2_r) & (par2_r >= 0),
                                1.0, 0.0)
 
         # ---- storage permute (identity rows for run pairs) ----
         def permute(st, ps, S):
-            tmp[:, pl.ds(0, S)] = _dotx(ohP[:, :], st[:, pl.ds(0, S)])
-            fr_beam = _dotx(ohP[:, :], ps[:, pl.ds(0, S)])
-            fr_child = _dotx(ohFro[:, :], st[:, pl.ds(0, S)])
+            st_t = _split3(st[:, pl.ds(0, S)])
+            ps_t = _split3(ps[:, pl.ds(0, S)])
+            tmp[:, pl.ds(0, S)] = _gather(ohP, st_t, BC)
+            fr_beam = _gather(ohP, ps_t, BC)
+            fr_child = _gather(ohFro, st_t, BC)
             is_child_r = (is_main_r > 0) & (rslot >= W) & (rslot < C)
             newfr = jnp.where(is_child_r, fr_child, fr_beam)
             st[:, pl.ds(0, S)] = jnp.where(src_r >= 0, tmp[:, pl.ds(0, S)],
@@ -480,8 +535,8 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                 m = jnp.full((BC, CH), _NEG, jnp.float32)
                 sd = seeds[:, :]
                 for _l in range(LAYERS):
-                    par = _dotx(ohG[:, :], m)
-                    pseed = _dotx(ohG[:, :], sd)
+                    par = _gather(ohG, _split3(m), BC)
+                    pseed = _gather_f32(ohG, sd, BC)
                     parsh = pltpu.roll(par, 1, 1)
                     parsh = jnp.where(liC == 0, pseed, parsh)
                     parsh = jnp.where(t_abs == lo_r, pseed, parsh)
@@ -522,7 +577,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
             jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
-            pp = _dotx(ohG2[:, :], st[:, :])
+            pp = _gather(ohG2, _split3(st[:, :]), BC)
             ps[:, :] = jnp.where(psmask_r > 0, pp, ps[:, :])
 
         sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0)
@@ -617,10 +672,10 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((PB, 128), jnp.float32),  # VAL
             pltpu.VMEM((PB, 128), jnp.float32),  # SCO
             pltpu.SMEM((2 * B,), jnp.int32),     # so_s
-            pltpu.VMEM((BC, BC), jnp.float32),   # ohP
-            pltpu.VMEM((BC, BC), jnp.float32),   # ohFro
-            pltpu.VMEM((BC, BC), jnp.float32),   # ohG
-            pltpu.VMEM((BC, BC), jnp.float32),   # ohG2
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohP
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohFro
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohG
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohG2
             pltpu.VMEM((BC, 1), jnp.float32),    # seeds
             pltpu.VMEM((BC, 1), jnp.float32),    # mx0s
             pltpu.VMEM((BC, 1), jnp.float32),    # mx

@@ -316,8 +316,16 @@ def _build_kernel(W: int, A: int, Wst0: int, Wst1: int, CH: int):
 
                 m = jnp.full((CP, CH), _NEG, jnp.float32)
                 for _layer in range(LAYERS):
-                    par = _dotx(onehot[:, :], m,
-                                  preferred_element_type=jnp.float32)
+                    if _layer == 0:
+                        # layer-0 m is the _NEG splat: the one-hot gather
+                        # result is known analytically (parent row -> _NEG,
+                        # no parent -> 0); skips a matmul and avoids splat
+                        # slicing (see pallas_pair_beam_batch.py).
+                        par = jnp.broadcast_to(
+                            jnp.where(pswept[:, :] > 0, _NEG, 0.0), (CP, CH))
+                    else:
+                        par = _dotx(onehot[:, :], m,
+                                    preferred_element_type=jnp.float32)
                     pseed = _dotx(onehot[:, :], seeds[:, :],
                                     preferred_element_type=jnp.float32)
                     parsh = pltpu.roll(par, 1, 1)

@@ -535,7 +535,18 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                 m = jnp.full((BC, CH), _NEG, jnp.float32)
                 sd = seeds[:, :]
                 for _l in range(LAYERS):
-                    par = _gather(ohG, _split3(m), BC)
+                    if _l == 0:
+                        # layer-0 m is the _NEG splat, so the gather result
+                        # is known: rows with a parent (a one-hot hit) give
+                        # _NEG, rows without give 0. Computing it directly
+                        # both saves a matmul and avoids slicing a splat
+                        # constant at sublane offset >= 128, which crashes
+                        # the TPU compiler ("limits[i] <= dim(i)" CHECK in
+                        # xla::Array) when BC > 128 (batch > 4).
+                        par = jnp.broadcast_to(
+                            jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH))
+                    else:
+                        par = _gather(ohG, _split3(m), BC)
                     pseed = _gather_f32(ohG, sd, BC)
                     parsh = pltpu.roll(par, 1, 1)
                     parsh = jnp.where(liC == 0, pseed, parsh)

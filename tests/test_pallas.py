@@ -74,3 +74,54 @@ def test_batch_kernel_matches_xla_b4(refs):
     cs, expected = refs
     outs = pair_beam_pallas_batch(cs, beam_width=5)
     assert outs == expected
+
+
+def test_batch_kernel_matches_xla_b8(refs):
+    """Batch > 4 crosses the 128-row one-hot group boundary (BC > 128):
+    the multi-group gather path must compile and stay exact. Round 1's
+    driver crash (XLA CHECK 'limits[i] <= dim(i)') lived exactly here."""
+    from poreover_tpu.ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+
+    cs, expected = refs
+    cs8 = (cs * 2)[:8]
+    exp8 = (expected * 2)[:8]
+    outs = pair_beam_pallas_batch(cs8, beam_width=5)
+    assert outs == exp8
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("os").path.exists(
+        "/root/reference/data/reads/read1.npy"),
+    reason="bundled reads not present")
+def test_real_read_scale():
+    """The exact bench configuration: bundled read pair, real envelope,
+    U,V ~ 62k/75k, single + batch-8 kernels. Guards against lowering bugs
+    that only degenerate at real-read scale (round-1 bench crash class).
+    Output must match the f64 windowed-semantics C++ oracle byte-for-byte."""
+    from poreover_tpu.decoding import envelope as em
+    from poreover_tpu.decoding.pair import get_sequence_mapping
+    from poreover_tpu.io.trace import model_from_trace
+    from poreover_tpu import native
+    from poreover_tpu.ops.pallas_pair_beam import pair_beam_pallas
+    from poreover_tpu.ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+
+    m1 = model_from_trace("/root/reference/data/reads/read1.npy", "poreover")
+    m2 = model_from_trace("/root/reference/data/reads/read2.npy", "poreover")
+    m2.reverse_complement()
+    b1, p1 = m1.viterbi_decode(return_path=True)
+    b2, p2 = m2.viterbi_decode(return_path=True)
+    s2s1, _ = get_sequence_mapping(p1, "poreover")
+    s2s2, _ = get_sequence_mapping(p2, "poreover")
+    a1, a2 = native.global_pair_banded(b1, b2)
+    alignment = np.array([list(a1), list(a2)])
+    cols = em.get_alignment_columns(alignment)
+    env = em.build_envelope(m1.log_prob, m2.log_prob, cols, s2s1, s2s2,
+                            padding=5)
+
+    oracle = native.pair_beam_row_col_cpu_emul(
+        m1.log_prob, m2.log_prob, env, beam_width=5)
+    single = pair_beam_pallas(m1.log_prob, m2.log_prob, env, beam_width=5)
+    assert single == oracle
+    outs = pair_beam_pallas_batch(
+        [(m1.log_prob, m2.log_prob, env)] * 8, beam_width=5)
+    assert all(o == oracle for o in outs)

@@ -64,18 +64,130 @@ def decode_read(model, algorithm: str, beam_width: int = 25, window: int = 400) 
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
 
+def _path_to_seq(model, path: np.ndarray) -> str:
+    """Viterbi path -> sequence per model kind (transducer.py:72/83/148
+    semantics, applied to a device-computed path)."""
+    if model.kind == "poreover":
+        return model.path_to_string(path)
+    if model.kind == "bonito":
+        keep = np.ones(len(path), dtype=bool)
+        keep[1:] = path[1:] != path[:-1]
+        return model.path_to_string(path[keep])
+    from ..models.transducer import remove_repeated
+
+    return remove_repeated(model.path_to_string(path)).upper()
+
+
+def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
+    """Decode (idx, path, model) entries in length-bucketed device batches.
+
+    One kernel launch per (kind, length-bucket, wave) instead of one per
+    read — the TPU equivalent of the reference's Pool(threads) fan-out
+    (decode.py:158-162). Returns {idx: seq}; a failing wave falls back to
+    per-read decoding so one bad read never loses the others.
+    """
+    from ..ops.beam import _pad_bucket
+
+    groups: dict[tuple, list] = {}
+    for e in entries:
+        key = (e[2].kind, _pad_bucket(e[2].t_max))
+        groups.setdefault(key, []).append(e)
+
+    results = {}
+    for (kind, bucket), group in sorted(groups.items()):
+        for w0 in range(0, len(group), wave):
+            batch = group[w0 : w0 + wave]
+            log.info(
+                "decoding wave: %d reads (kind=%s, bucket=%d, algorithm=%s)",
+                len(batch), kind, bucket, algorithm,
+            )
+            try:
+                if algorithm == "beam":
+                    from ..ops.beam import beam_search_batch
+
+                    seqs = beam_search_batch(
+                        [e[2].log_prob for e in batch],
+                        beam_width=beam_width,
+                        model=MODEL_STRING[kind],
+                    )
+                    for e, s in zip(batch, seqs):
+                        results[e[0]] = s
+                elif kind == "flipflop":
+                    from ..ops.viterbi import viterbi_path_masked_batch
+
+                    paths = viterbi_path_masked_batch(
+                        [e[2].log_prob.astype(np.float32) for e in batch],
+                        batch[0][2].transition,
+                    )
+                    for e, p in zip(batch, paths):
+                        results[e[0]] = _path_to_seq(e[2], np.asarray(p))
+                else:
+                    # unconstrained CTC kinds: Viterbi == per-step argmax
+                    from ..ops.viterbi import argmax_path_batch
+
+                    Tp = bucket
+                    yb = np.full(
+                        (len(batch), Tp, batch[0][2].log_prob.shape[1]),
+                        -np.inf, np.float32,
+                    )
+                    # pad with blank-wins rows so the padded tail decodes to
+                    # gaps that drop out of the string
+                    yb[:, :, -1] = 0.0
+                    for i, e in enumerate(batch):
+                        yb[i, : e[2].t_max] = e[2].log_prob
+                    paths = np.asarray(argmax_path_batch(yb))
+                    for i, e in enumerate(batch):
+                        results[e[0]] = _path_to_seq(
+                            e[2], paths[i, : e[2].t_max]
+                        )
+            except Exception:
+                log.exception(
+                    "batched wave failed; falling back to per-read decode"
+                )
+                for idx, path, model in batch:
+                    try:
+                        results[idx] = decode_read(
+                            model, algorithm, beam_width=beam_width
+                        )
+                    except Exception as exc:
+                        log.warning("skipping %s: %s", path, exc)
+    return results
+
+
 def decode(args) -> None:
     in_files = collect_input_files(getattr(args, "in"), args.basecaller)
     log.info("found %d reads to decode", len(in_files))
     out_path = args.out + ".fasta"
+    threads = max(int(getattr(args, "threads", 1) or 1), 1)
+
+    # host IO first, isolating per-read load failures (the reference's Pool
+    # silently swallows crashed workers, decode.py:140-162; we log + skip)
+    entries = []
+    for idx, path in enumerate(in_files):
+        try:
+            entries.append((idx, path, model_from_trace(path, args.basecaller)))
+        except Exception as exc:
+            log.warning("skipping unreadable trace %s: %s", path, exc)
+
+    results: dict[int, str] = {}
+    if args.algorithm in ("viterbi", "beam") and len(entries) > 1:
+        results = _decode_batched(
+            entries, args.algorithm, args.beam_width, wave=max(16, threads)
+        )
+    else:
+        for idx, path, model in entries:
+            try:
+                results[idx] = decode_read(
+                    model,
+                    args.algorithm,
+                    beam_width=args.beam_width,
+                    window=args.window,
+                )
+            except Exception as exc:
+                log.warning("decode failed for %s: %s", path, exc)
+
     with open(out_path, "w") as out_f:
-        for path in in_files:
-            model = model_from_trace(path, args.basecaller)
-            seq = decode_read(
-                model,
-                args.algorithm,
-                beam_width=args.beam_width,
-                window=args.window,
-            )
-            print(fasta_format(Path(path).stem, seq), file=out_f)
-    log.info("wrote sequences to %s", out_path)
+        for idx, path in enumerate(in_files):
+            if idx in results:
+                print(fasta_format(Path(path).stem, results[idx]), file=out_f)
+    log.info("wrote %d/%d sequences to %s", len(results), len(in_files), out_path)

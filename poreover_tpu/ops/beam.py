@@ -256,6 +256,66 @@ def _beam_search_scan(y, t_valid, root_gap_cum, model_id: int, W: int, A: int):
     return first_char, chars_rev
 
 
+_beam_search_scan_batch = jax.jit(
+    jax.vmap(_beam_search_scan, in_axes=(0, 0, 0, None, None, None)),
+    static_argnums=(3, 4, 5),
+)
+
+
+def _pad_bucket(T: int, granule: int = 512) -> int:
+    """Round a read length up to a padded bucket so few kernel shapes serve
+    many reads (one compile per bucket)."""
+    return max(granule, ((T + granule - 1) // granule) * granule)
+
+
+def beam_search_batch(
+    ys,
+    beam_width: int = 25,
+    alphabet: str = "ACGT",
+    model: str = "ctc",
+) -> list[str]:
+    """Beam-search decode a batch of reads in one vmapped kernel launch.
+
+    The TPU replacement for the reference's per-read multiprocessing.Pool
+    fan-out (poreover/decoding/decode.py:158-162): reads are padded to a
+    shared length bucket (padded steps are exact no-ops on the scan carry)
+    and decoded as ONE [B, T, S] launch per bucket. Returns sequences in
+    input order; identical output to per-read `beam_search`.
+    """
+    model_id = _MODEL_IDS[model]
+    A = len(alphabet)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if len(ys) == 0:
+        return []
+    Tpad = _pad_bucket(max(int(np.asarray(y).shape[0]) for y in ys))
+    S = int(np.asarray(ys[0]).shape[1])
+    B = len(ys)
+    yb = np.zeros((B, Tpad, S), np.float64)
+    tv = np.zeros((B, Tpad), bool)
+    for i, y in enumerate(ys):
+        y = np.asarray(y)
+        yb[i, : len(y)] = y
+        tv[i, : len(y)] = True
+    yj = jnp.asarray(yb, dtype)
+    tvj = jnp.asarray(tv)
+    if model_id == 0:
+        # cumulative blank mass; padded tail frozen at the last real value
+        # is irrelevant because those steps are masked no-ops
+        root_cum = jnp.cumsum(jnp.where(tvj, yj[:, :, -1], 0.0), axis=1)
+    else:
+        root_cum = jnp.zeros((B, Tpad), dtype)
+    first_char, chars_rev = _beam_search_scan_batch(
+        yj, tvj, root_cum, model_id, beam_width, A
+    )
+    first_char = np.asarray(first_char)
+    chars_rev = np.asarray(chars_rev)
+    out = []
+    for i in range(B):
+        chars = [int(first_char[i])] + [int(c) for c in chars_rev[i]]
+        out.append("".join(alphabet[c] for c in chars if c >= 0))
+    return out
+
+
 def beam_search(
     y,
     beam_width: int = 25,

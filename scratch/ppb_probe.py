@@ -1,0 +1,825 @@
+"""Batched Pallas TPU mega-kernel: B pair-consensus beam searches in lockstep.
+
+Throughput form of ops/pallas_pair_beam.py (same step semantics,
+differential-tested against it and the XLA engine). B independent read
+pairs run through one sequential 1D grid over (padded) plan steps; each
+pair owns a 32-row block of every VMEM state plane, so the per-step fixed
+cost (grid overhead, winner selection, layered sweeps) is shared across
+the batch. The single-pair kernel is latency-bound — measured 8x rows ~=
+2x step time — so batching multiplies reads/s/chip.
+
+Key differences from the single-pair kernel:
+- ALL candidate bookkeeping (hash keys, chars, validity, scores) lives in
+  "lane layout" planes [PB, 128] (pair = sublane, slot = lane); winner
+  selection / dedup / key extension / parent lookups are lane-parallel VPU
+  ops with per-pair row reductions — no unrolled scalar loops.
+- lane->row bridges use the Mosaic sublane/lane transpose plus static
+  per-pair block copies.
+- storage permutes and parent gathers are block-diagonal one-hot matmuls
+  at HIGHEST precision (default TPU dot truncates inputs to bf16).
+- non-MAIN pairs get identity permutation rows: every step executes one
+  uniform program with per-pair masks — no divergent control flow.
+
+Per-pair plans (host side, beam2d_planned.plan_walk over the envelope) are
+right-padded with zero-width catch-runs — exact no-ops for table state.
+
+Supported model: plain CTC ("poreover"), the pair-decode flagship config.
+Reference semantics: the row_col walk of BeamSearch.h:262-397 over
+PrefixTree.h:492-540 2D CTC nodes, with the windowed-table memo semantics
+shared by all TPU engines here (see native/pair_beam_cpu.cpp emulate mode).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SKIP = set(filter(None, os.environ.get("PPB_SKIP", "").split(",")))
+LAYERS_OVERRIDE = int(os.environ.get("PPB_LAYERS", "0"))
+
+_NEG = np.float32(-1e30)
+
+MAIN, C0RUN, C1RUN = 0, 1, 2
+
+_M1 = np.int32(np.uint32(2654435761).astype(np.int32))
+_M2 = np.int32(40503)
+
+
+def _dotx(a, b):
+    """Exact f32 matmul (HIGHEST: default TPU dot truncates to bf16)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split3(x):
+    """Exact 3-term bf16 decomposition of f32: x == hi + mid + lo.
+
+    f32 has a 24-bit mantissa; each bf16 term captures 8 bits, and every
+    residual is exactly representable (<= 8 significant bits), so the split
+    is lossless."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dotb(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _gather(oh_ref, terms, BC: int):
+    """Exact block-diagonal one-hot gather: out = oh @ x.
+
+    ``terms`` is _split3(x). The one-hot matrix only connects rows within a
+    pair's 32-row block, so it is stored with group-local columns [BC, 128]
+    (row r selects among the 128 rows of its own group); only diagonal tile
+    groups are multiplied — a full [BC,BC] dot costs (BC/128)^2 MXU tiles
+    and made batch cost quadratic in B. Each selected product is exact in
+    bf16 (one-hot times an exact bf16 term), and hi+mid+lo re-sums to the
+    exact f32 payload, so this is bit-identical to a HIGHEST f32 dot at 3
+    diagonal bf16 passes instead of 6 full-size ones."""
+    hi, mid, lo = terms
+    G = 128
+    outs = []
+    for g0 in range(0, BC, G):
+        g1 = min(g0 + G, BC)
+        ohg = oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16)
+        acc = (_dotb(ohg, hi[g0:g1]) + _dotb(ohg, mid[g0:g1])
+               + _dotb(ohg, lo[g0:g1]))
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _gather_f32(oh_ref, x, BC: int):
+    """Grouped block-diagonal one-hot gather at HIGHEST f32, for payloads
+    too narrow for bf16 tiling (e.g. [BC, 1] seeds)."""
+    G = 128
+    outs = []
+    for g0 in range(0, BC, G):
+        g1 = min(g0 + G, BC)
+        outs.append(_dotx(oh_ref[g0:g1, 0:g1 - g0], x[g0:g1]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
+                  L1: int, L2: int, K: int = 1, NTOT: int = 0):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = W * (A + 1)
+    CP = 32
+    assert C <= CP
+    PB = max(B, 8)
+    BC = B * CP
+    LAYERS = LAYERS_OVERRIDE or (W + 1)
+    S0 = ((Wst0 + 3 * CH + 127) // 128) * 128
+    S1 = ((Wst1 + 3 * CH + 127) // 128) * 128
+    WF0 = S0 - CH
+    WF1 = S1 - CH
+    LN = 128
+
+    def kernel(y1_ref, y2_ref, plan_ref,
+               prov_ref, sco_ref, val_ref,
+               st0, ps0, st1, ps1,
+               K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+               so_s, ohP, ohFro, ohG, ohG2,
+               seeds, mx0s, mx, tmp, bridge):
+        for _k in range(K):
+            _step_body(pl.program_id(0) * K + _k,
+                       y1_ref, y2_ref, plan_ref,
+                       prov_ref, sco_ref, val_ref,
+                       st0, ps0, st1, ps1,
+                       K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+                       so_s, ohP, ohFro, ohG, ohG2,
+                       seeds, mx0s, mx, tmp, bridge)
+
+    def _step_body(i, y1_ref, y2_ref, plan_ref,
+                   prov_ref, sco_ref, val_ref,
+                   st0, ps0, st1, ps1,
+                   K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+                   so_s, ohP, ohFro, ohG, ohG2,
+                   seeds, mx0s, mx, tmp, bridge):
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (BC, 1), 0)
+        rblk = rr // CP
+        rslot = rr - rblk * CP
+        # one-hot matrices use group-local columns: row r's pair block sits
+        # at column base ((r % 128) // CP) * CP of r's 128-row group
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 1)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 0)
+        cloc = (crow % 128) // CP * CP
+        in_batch = prow < B
+
+        # ---- per-pair plan scalars ----
+        pb = pl.multiple_of((i // 128) * 128, 128)
+        pcol = i - pb
+        pmat = plan_ref[:, pl.ds(pb, 128)]
+        psel = jax.lax.broadcasted_iota(jnp.int32, (8 * B, 128), 1) == pcol
+        pvals = jnp.sum(jnp.where(psel, pmat, 0), axis=1)
+        stype = [pvals[8 * b + 0] for b in range(B)]
+        alo = [pvals[8 * b + 1] for b in range(B)]
+        ahi = [pvals[8 * b + 2] for b in range(B)]
+        blo = [pvals[8 * b + 3] for b in range(B)]
+        bhi = [pvals[8 * b + 4] for b in range(B)]
+
+        def scal_vec(scalars, default, dtype=jnp.float32):
+            v = jnp.full((PB, LN), default, dtype)
+            for b, x in enumerate(scalars):
+                v = jnp.where(prow == b, x, v)
+            return v
+
+        is_main = scal_vec(
+            [jnp.where(s == MAIN, 1.0, 0.0) for s in stype], 0.0)
+        is_main_r = jnp.zeros((BC, 1), jnp.float32)
+        for b in range(B):
+            is_main_r = jnp.where(
+                rblk == b, jnp.where(stype[b] == MAIN, 1.0, 0.0), is_main_r)
+
+        # ------------------------------------------------------------------
+        @pl.when(i == 0)
+        def _init():
+            for b in range(2 * B):
+                so_s[b] = -128
+            st0[:, :] = jnp.full((BC, S0), _NEG, jnp.float32)
+            ps0[:, :] = jnp.full((BC, S0), _NEG, jnp.float32)
+            st1[:, :] = jnp.full((BC, S1), _NEG, jnp.float32)
+            ps1[:, :] = jnp.full((BC, S1), _NEG, jnp.float32)
+            slot_ok = lane < A
+            K1[:, :] = jnp.where(slot_ok, lane + 1, 0)
+            K2[:, :] = jnp.where(slot_ok, lane + 1, 0)
+            PK1[:, :] = jnp.zeros((PB, LN), jnp.int32)
+            PK2[:, :] = jnp.zeros((PB, LN), jnp.int32)
+            CHR[:, :] = jnp.where(slot_ok, lane, 0)
+            PCH[:, :] = jnp.full((PB, LN), -1, jnp.int32)
+            VAL[:, :] = jnp.where(slot_ok & in_batch, 1.0, 0.0)
+            SCO[:, :] = jnp.where(slot_ok & in_batch, 0.0, _NEG)
+            li0 = jax.lax.broadcasted_iota(jnp.int32, (BC, S0), 1)
+            li1 = jax.lax.broadcasted_iota(jnp.int32, (BC, S1), 1)
+            acc0 = st0[:, :]
+            acc1 = st1[:, :]
+            for b in range(B):
+                for c in range(A):
+                    acc0 = jnp.where((rr == b * CP + c) & (li0 == 128),
+                                     y1_ref[8 * b + c, 0], acc0)
+                    acc1 = jnp.where((rr == b * CP + c) & (li1 == 128),
+                                     y2_ref[8 * b + c, 0], acc1)
+            st0[:, :] = acc0
+            st1[:, :] = acc1
+
+        # ==================================================================
+        # winner selection + field gathering (lane-parallel)
+        # ==================================================================
+        k1 = K1[:, :]
+        k2 = K2[:, :]
+        pk1 = PK1[:, :]
+        pk2 = PK2[:, :]
+        chs = CHR[:, :]
+        pchs = PCH[:, :]
+        val = VAL[:, :]
+        sco = SCO[:, :]
+
+        avail = val > 0
+        win = jnp.full((PB, LN), -1, jnp.int32)
+        wmatch = jnp.zeros((PB, LN), jnp.float32)
+        wk1 = jnp.zeros((PB, LN), jnp.int32)
+        wk2 = jnp.zeros((PB, LN), jnp.int32)
+        wpk1 = jnp.zeros((PB, LN), jnp.int32)
+        wpk2 = jnp.zeros((PB, LN), jnp.int32)
+        wch = jnp.zeros((PB, LN), jnp.int32)
+        wpch = jnp.full((PB, LN), -1, jnp.int32)
+        wokv = jnp.zeros((PB, LN), jnp.int32)
+
+        BIG = jnp.int32(LN + 1)
+        for w in range(W):
+            s_m = jnp.where(avail, sco, _NEG)
+            has = jnp.max(jnp.where(avail, 1.0, 0.0), axis=1,
+                          keepdims=True) > 0
+            m = jnp.max(s_m, axis=1, keepdims=True)
+            at_m = avail & (s_m == m)
+            first = jnp.min(jnp.where(at_m, lane, BIG), axis=1, keepdims=True)
+            oh_w = lane == first
+
+            def pick(x):
+                return jnp.sum(jnp.where(oh_w, x, 0), axis=1, keepdims=True)
+
+            kw1 = pick(k1)
+            kw2 = pick(k2)
+            keq = (k1 == kw1) & (k2 == kw2)
+            wmatch = jnp.where(keq & (val > 0) & has, 1.0, wmatch)
+            avail = avail & ((k1 != kw1) | (k2 != kw2))
+
+            wl = lane == w
+            win = jnp.where(wl, jnp.where(has, first, -1), win)
+            wokv = jnp.where(wl, jnp.where(has, 1, 0), wokv)
+            wk1 = jnp.where(wl, kw1, wk1)
+            wk2 = jnp.where(wl, kw2, wk2)
+            wpk1 = jnp.where(wl, pick(pk1), wpk1)
+            wpk2 = jnp.where(wl, pick(pk2), wpk2)
+            wch = jnp.where(wl, pick(chs), wch)
+            wpch = jnp.where(wl, pick(pchs), wpch)
+
+        # ==================================================================
+        # MAIN new table (lane layout), merged with unchanged run table
+        # ==================================================================
+        wofj = jnp.where(lane >= W, (lane - W) // A, lane)
+        cofj = jnp.where((lane >= W) & (lane < C), (lane - W) % A, 0)
+        is_stay = lane < W
+        is_child = (lane >= W) & (lane < C)
+
+        def from_w(xw, default=0):
+            out = jnp.full((PB, LN), default, xw.dtype)
+            for w in range(W):
+                xv = jnp.sum(jnp.where(lane == w, xw, 0), axis=1,
+                             keepdims=True)
+                out = jnp.where(wofj == w, xv, out)
+            return out
+
+        pw_k1 = from_w(wk1)
+        pw_k2 = from_w(wk2)
+        pw_pk1 = from_w(wpk1)
+        pw_pk2 = from_w(wpk2)
+        pw_ch = from_w(wch)
+        pw_pch = from_w(wpch)
+        pw_ok = from_w(wokv) > 0
+        pw_src = from_w(jnp.maximum(win, 0))
+
+        ck1 = pw_k1 * _M1 + (cofj + 1)
+        ck2 = pw_k2 * _M2 + (cofj + 1)
+
+        nk1 = jnp.where(is_stay, pw_k1, jnp.where(is_child, ck1, 0))
+        nk2 = jnp.where(is_stay, pw_k2, jnp.where(is_child, ck2, 0))
+        npk1 = jnp.where(is_stay, pw_pk1, jnp.where(is_child, pw_k1, 0))
+        npk2 = jnp.where(is_stay, pw_pk2, jnp.where(is_child, pw_k2, 0))
+        nch = jnp.where(is_stay, pw_ch, jnp.where(is_child, cofj, 0))
+        npch = jnp.where(is_stay, pw_pch, jnp.where(is_child, pw_ch, -1))
+        nval = jnp.where((is_stay | is_child) & pw_ok & in_batch, 1.0, 0.0)
+
+        # stale-row source: stay lanes <- winner slot; child lanes <- first
+        # OLD slot holding the child key (if any)
+        old_hit = jnp.full((PB, LN), -1, jnp.int32)
+        for t in range(C):
+            lt = lane == t
+            kt1 = jnp.sum(jnp.where(lt, k1, 0), axis=1, keepdims=True)
+            kt2 = jnp.sum(jnp.where(lt, k2, 0), axis=1, keepdims=True)
+            vt = jnp.sum(jnp.where(lt, val, 0.0), axis=1, keepdims=True)
+            hit = (nk1 == kt1) & (nk2 == kt2) & (vt > 0) & (old_hit < 0)
+            old_hit = jnp.where(hit, t, old_hit)
+        src_main = jnp.where(is_stay, pw_src, jnp.maximum(old_hit, 0))
+        pw_ok_f = jnp.where(pw_ok, 1.0, 0.0)
+        oldhit_f = jnp.where(old_hit >= 0, 1.0, 0.0)
+        hsm_f = jnp.where(is_stay, pw_ok_f, oldhit_f * pw_ok_f)
+        has_src_main = (hsm_f > 0) & (nval > 0)
+
+        im = is_main > 0
+        fk1 = jnp.where(im, nk1, k1)
+        fk2 = jnp.where(im, nk2, k2)
+        fpk1 = jnp.where(im, npk1, pk1)
+        fpk2 = jnp.where(im, npk2, pk2)
+        fch = jnp.where(im, nch, chs)
+        fpch = jnp.where(im, npch, pchs)
+        fval = jnp.where(im, nval, val)
+        K1[:, :] = fk1
+        K2[:, :] = fk2
+        PK1[:, :] = fpk1
+        PK2[:, :] = fpk2
+        CHR[:, :] = fch
+        PCH[:, :] = fpch
+        VAL[:, :] = fval
+
+        src = jnp.where(im, jnp.where(has_src_main, src_main, -1), lane)
+        fro_src = jnp.where(im & is_child & pw_ok, pw_src, -1)
+        swept_f = jnp.where(im, fval, wmatch * jnp.where(val > 0, 1.0, 0.0))
+        swept = swept_f > 0
+
+        # parent slot among swept lanes (sweep gather) / valid lanes (refresh)
+        is_root_par = (fpk1 == 0) & (fpk2 == 0)
+        par_slot = jnp.full((PB, LN), -1, jnp.int32)
+        par_slot2 = jnp.full((PB, LN), -1, jnp.int32)
+        for t in range(C):
+            lt = lane == t
+            kt1 = jnp.sum(jnp.where(lt, fk1, 0), axis=1, keepdims=True)
+            kt2 = jnp.sum(jnp.where(lt, fk2, 0), axis=1, keepdims=True)
+            sw_t = jnp.max(jnp.where(lt & swept, 1.0, 0.0), axis=1,
+                           keepdims=True) > 0
+            vv_t = jnp.sum(jnp.where(lt, fval, 0.0), axis=1, keepdims=True)
+            keq = (fpk1 == kt1) & (fpk2 == kt2)
+            par_slot = jnp.where(keq & sw_t & (par_slot < 0), t, par_slot)
+            par_slot2 = jnp.where(keq & (vv_t > 0) & (par_slot2 < 0), t,
+                                  par_slot2)
+        par_slot = jnp.where(is_root_par, -1, par_slot)
+        par_slot2 = jnp.where(is_root_par, -1, par_slot2)
+
+        # ---- lane->row bridge (transpose + static block copies) ----
+        bi = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
+
+        def lane_to_rows(x):
+            bridge[:, :] = jnp.transpose(x.astype(jnp.float32))  # [LN, PB]
+            bv = bridge[:, :]
+            # masked lane-reduce per pair: forces a uniform lane-0 layout
+            # (slicing different lanes then concatenating trips Mosaic's
+            # "offset mismatch on non-concat dimension")
+            cols = [
+                jnp.sum(jnp.where(bi == b, bv, 0.0), axis=1,
+                        keepdims=True)[0:CP, :]
+                for b in range(B)
+            ]
+            return jnp.concatenate(cols, axis=0)  # [BC, 1]
+
+        src_r = lane_to_rows(src)
+        fro_src_r = lane_to_rows(fro_src)
+        val_r = lane_to_rows(fval)
+        sw_r = lane_to_rows(jnp.where(swept, 1.0, 0.0))
+        ch_r = lane_to_rows(fch)
+        root_r = lane_to_rows(jnp.where(is_root_par, 1.0, 0.0))
+        par_r = lane_to_rows(par_slot)
+        par2_r = lane_to_rows(par_slot2)
+        pswept_r = jnp.where(par_r >= 0, 1.0, 0.0)
+        psmask_r = jnp.where(par2_r >= 0, 1.0, 0.0)
+
+        # ---- block-diagonal one-hot matrices (group-local columns) ----
+        ohP[:, :] = jnp.where((ccol == cloc + src_r) & (src_r >= 0),
+                              1.0, 0.0)
+        ohFro[:, :] = jnp.where(
+            (ccol == cloc + fro_src_r) & (fro_src_r >= 0), 1.0, 0.0)
+        ohG[:, :] = jnp.where((ccol == cloc + par_r) & (par_r >= 0),
+                              1.0, 0.0)
+        ohG2[:, :] = jnp.where((ccol == cloc + par2_r) & (par2_r >= 0),
+                               1.0, 0.0)
+
+        # ---- storage permute (identity rows for run pairs) ----
+        def permute(st, ps, S):
+            st_t = _split3(st[:, pl.ds(0, S)])
+            ps_t = _split3(ps[:, pl.ds(0, S)])
+            tmp[:, pl.ds(0, S)] = _gather(ohP, st_t, BC)
+            fr_beam = _gather(ohP, ps_t, BC)
+            fr_child = _gather(ohFro, st_t, BC)
+            is_child_r = (is_main_r > 0) & (rslot >= W) & (rslot < C)
+            newfr = jnp.where(is_child_r, fr_child, fr_beam)
+            st[:, pl.ds(0, S)] = jnp.where(src_r >= 0, tmp[:, pl.ds(0, S)],
+                                           _NEG)
+            ps[:, pl.ds(0, S)] = jnp.where(val_r > 0, newfr, _NEG)
+
+        if "permute" not in SKIP:
+            permute(st0, ps0, S0)
+            permute(st1, ps1, S1)
+
+        # ==================================================================
+        # windowed sweeps (per-pair windows; zero width = exact no-op)
+        # ==================================================================
+        liC = jax.lax.broadcasted_iota(jnp.int32, (BC, CH), 1)
+
+        def sweep_axis(st, ps, y_ref, los, his, WF, S, L, so_base):
+            new_so = []
+            for b in range(B):
+                so_b = so_s[so_base + b]
+                need = his[b] - WF
+                cand = ((need + 127) // 128) * 128
+                ns = pl.multiple_of(jnp.maximum(so_b, cand), 128)
+                d = pl.multiple_of(ns - so_b, 128)
+
+                @pl.when(d != 0)
+                def _shift(b=b, d=d, st=st, ps=ps, S=S):
+                    nblk = S // CH
+                    for ref in (st, ps):
+                        for j in range(nblk):
+                            srcp = pl.multiple_of(j * CH + d, 128)
+
+                            @pl.when(srcp <= S - CH)
+                            def _cp(j=j, srcp=srcp, ref=ref, b=b):
+                                tmp[b * CP:(b + 1) * CP,
+                                    j * CH:(j + 1) * CH] = ref[
+                                        b * CP:(b + 1) * CP, pl.ds(srcp, CH)]
+
+                            @pl.when(srcp > S - CH)
+                            def _fl(j=j, ref=ref, b=b):
+                                tmp[b * CP:(b + 1) * CP,
+                                    j * CH:(j + 1) * CH] = jnp.full(
+                                        (CP, CH), _NEG, jnp.float32)
+                        ref[b * CP:(b + 1) * CP, :] = tmp[
+                            b * CP:(b + 1) * CP, pl.ds(0, S)]
+
+                so_s[so_base + b] = ns
+                new_so.append(ns)
+
+            ac0 = [pl.multiple_of((los[b] // 128) * 128, 128)
+                   for b in range(B)]
+            nchk = [(his[b] - ac0[b] + CH - 1) // CH for b in range(B)]
+            n_chunks = nchk[0]
+            for b in range(1, B):
+                n_chunks = jnp.maximum(n_chunks, nchk[b])
+
+            lo_r = jnp.zeros((BC, 1), jnp.int32)
+            hi_r = jnp.zeros((BC, 1), jnp.int32)
+            so_r = jnp.zeros((BC, 1), jnp.int32)
+            for b in range(B):
+                lo_r = jnp.where(rblk == b, los[b], lo_r)
+                hi_r = jnp.where(rblk == b, his[b], hi_r)
+                so_r = jnp.where(rblk == b, new_so[b], so_r)
+
+            # seeds: own value at lo-1
+            for b in range(B):
+                pos0 = pl.multiple_of(jnp.maximum(ac0[b] - new_so[b], 0), 128)
+                posp = pl.multiple_of(jnp.maximum(pos0 - CH, 0), 128)
+                rows = slice(b * CP, (b + 1) * CP)
+                catA = st[rows, pl.ds(posp, CH)]
+                catB = st[rows, pl.ds(pos0, CH)]
+                cat = jnp.concatenate([catA, catB], axis=1)
+                li2 = jax.lax.broadcasted_iota(jnp.int32, (CP, 2 * CH), 1)
+                tcat = jnp.where(li2 < CH, new_so[b] + posp + li2,
+                                 new_so[b] + pos0 + (li2 - CH))
+                seeds[rows, :] = jnp.max(
+                    jnp.where(tcat == los[b] - 1, cat, _NEG), axis=1,
+                    keepdims=True)
+            seeds[:, :] = jnp.where(sw_r > 0, seeds[:, :], _NEG)
+            mx[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
+
+            def chunk(kc, carry):
+                em_l, gap_l, rootv_l, fro_l, old_l, tabs_l = (
+                    [], [], [], [], [], [])
+                liP = jax.lax.broadcasted_iota(jnp.int32, (CP, CH), 1)
+                poss = []
+                for b in range(B):
+                    c_lo_u = ac0[b] + kc * CH          # unclamped (for t)
+                    c_lo = pl.multiple_of(
+                        jnp.minimum(c_lo_u, L - CH), 128)  # clamped (memory)
+                    rows = slice(b * CP, (b + 1) * CP)
+                    yrows = slice(8 * b, 8 * (b + 1))
+                    yw = y_ref[yrows, pl.ds(c_lo, CH)]
+                    em_b = jnp.full((CP, CH), _NEG, jnp.float32)
+                    chb = ch_r[b * CP:(b + 1) * CP, :]
+                    for c in range(A):
+                        em_b = jnp.where(chb == float(c), yw[c:c + 1, :],
+                                         em_b)
+                    em_l.append(em_b)
+                    gap_l.append(jnp.broadcast_to(yw[A:A + 1, :], (CP, CH)))
+                    rootv_l.append(
+                        jnp.broadcast_to(yw[A + 1:A + 2, :], (CP, CH)))
+                    pos = pl.multiple_of(
+                        jnp.clip(c_lo - new_so[b], 0, S - CH), 128)
+                    poss.append(pos)
+                    posp = pl.multiple_of(jnp.maximum(pos - CH, 0), 128)
+                    fA = ps[rows, pl.ds(posp, CH)]
+                    fB = ps[rows, pl.ds(pos, CH)]
+                    fcat = jnp.concatenate([fA, fB], axis=1)
+                    fro_l.append(jax.lax.slice_in_dim(fcat, CH - 1,
+                                                      2 * CH - 1, axis=1))
+                    old_l.append(st[rows, pl.ds(pos, CH)])
+                    tabs_l.append(jnp.broadcast_to(c_lo_u + liP, (CP, CH)))
+                em = jnp.concatenate(em_l, axis=0)
+                gap = jnp.concatenate(gap_l, axis=0)
+                rootv = jnp.concatenate(rootv_l, axis=0)
+                fro = jnp.concatenate(fro_l, axis=0)
+                old = jnp.concatenate(old_l, axis=0)
+                t_abs = jnp.concatenate(tabs_l, axis=0)
+
+                in_m = jnp.where(
+                    (t_abs >= lo_r) & (t_abs < hi_r) & (sw_r > 0), 1.0, 0.0)
+                fro_pos = t_abs - 1 - so_r
+                fro = jnp.where((fro_pos >= 0) & (fro_pos < WF), fro, _NEG)
+                ext = jnp.where(root_r > 0, rootv, fro)
+                root_start = (root_r > 0) & (t_abs == 0)
+                del root_start  # plain CTC has no flop start; kept for parity
+
+                gapm = jnp.where(in_m > 0, gap, 0.0)
+                cg = gapm
+                sh = 1
+                while sh < CH:
+                    cg = cg + jnp.where(liC >= sh, pltpu.roll(cg, sh, 1), 0.0)
+                    sh *= 2
+
+                m = jnp.full((BC, CH), _NEG, jnp.float32)
+                sd = seeds[:, :]
+                for _l in range(LAYERS):
+                    if _l == 0:
+                        # layer-0 m is the _NEG splat, so the gather result
+                        # is known: rows with a parent (a one-hot hit) give
+                        # _NEG, rows without give 0. Computing it directly
+                        # both saves a matmul and avoids slicing a splat
+                        # constant at sublane offset >= 128, which crashes
+                        # the TPU compiler ("limits[i] <= dim(i)" CHECK in
+                        # xla::Array) when BC > 128 (batch > 4).
+                        par = jnp.broadcast_to(
+                            jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH))
+                    else:
+                        par = _gather(ohG, _split3(m), BC)
+                    pseed = _gather_f32(ohG, sd, BC)
+                    parsh = pltpu.roll(par, 1, 1)
+                    parsh = jnp.where(liC == 0, pseed, parsh)
+                    parsh = jnp.where(t_abs == lo_r, pseed, parsh)
+                    pv = jnp.where(pswept_r > 0, parsh, ext)
+                    E = jnp.where(in_m > 0, pv + em, _NEG)
+                    X = E - cg
+                    run = X
+                    sh = 1
+                    while sh < CH:
+                        prev = jnp.where(liC >= sh, pltpu.roll(run, sh, 1),
+                                         _NEG)
+                        run = jnp.logaddexp(run, prev)
+                        sh *= 2
+                    pfull = cg + jnp.logaddexp(run, sd)
+                    m = jnp.where(in_m > 0, pfull, _NEG)
+
+                merged = jnp.where(in_m > 0, m, old)
+                for b in range(B):
+                    rows = slice(b * CP, (b + 1) * CP)
+
+                    @pl.when(kc < nchk[b])
+                    def _wr(b=b, rows=rows):
+                        st[rows, pl.ds(poss[b], CH)] = (
+                            merged[b * CP:(b + 1) * CP, :])
+
+                mx[:, :] = jnp.maximum(
+                    mx[:, :], jnp.max(jnp.where(in_m > 0, m, _NEG), axis=1,
+                                      keepdims=True))
+                # per-pair last-lane time, built from scalars (slicing the
+                # concat-of-broadcast t_abs crashes the Mosaic layout pass)
+                last_t_r = jnp.zeros((BC, 1), jnp.int32)
+                for b in range(B):
+                    last_t_r = jnp.where(
+                        rblk == b, ac0[b] + kc * CH + CH - 1, last_t_r)
+                last_ok = (sw_r > 0) & (last_t_r >= lo_r) & (last_t_r < hi_r)
+                seeds[:, :] = jnp.where(last_ok, m[:, CH - 1:CH], seeds[:, :])
+                return carry
+
+            if "chunks" not in SKIP:
+                jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+            if "refresh" not in SKIP:
+                pp = _gather(ohG2, _split3(st[:, :]), BC)
+                ps[:, :] = jnp.where(psmask_r > 0, pp, ps[:, :])
+
+        if "sweeps" not in SKIP:
+            sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0)
+            mx0s[:, :] = mx[:, :]
+            sweep_axis(st1, ps1, y2_ref, blo, bhi, WF1, S1, L2, B)
+
+        # ---- scores: rows -> lanes bridge via transpose ----
+        tot_r = mx0s[:, :] + mx[:, :]  # [BC, 1]
+        colIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
+        rowIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 0)
+        acc = jnp.full((LN, PB), _NEG, jnp.float32)
+        for b in range(B):
+            blkv = tot_r[b * CP:(b + 1) * CP, :]  # [CP, 1]
+            patch = jnp.concatenate(
+                [blkv, jnp.full((CP, PB - 1), _NEG, jnp.float32)], axis=1)
+            patch = jnp.concatenate(
+                [patch, jnp.full((LN - CP, PB), _NEG, jnp.float32)], axis=0)
+            acc = jnp.where((colIota == b) & (rowIota < CP), patch[:, 0:1],
+                            acc)
+        sc_lanes = jnp.transpose(acc)  # [PB, LN]
+        new_sco = jnp.where((fval > 0) & (lane < C), sc_lanes, _NEG)
+        SCO[:, :] = jnp.where(im, new_sco, sco)
+
+        # ---- provenance: winner slots in lanes 0..W-1, stype in lane 127.
+        # 32 steps share one output block (row group i % 32): switching the
+        # output block every step costs a synchronous HBM DMA per step,
+        # which dominated the whole kernel (measured 430us/step).
+        prow32 = jax.lax.broadcasted_iota(jnp.int32, (32 * PB, 128), 0) // PB
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (32 * PB, 128), 1)
+        stv = jnp.concatenate(
+            [scal_vec(stype, C0RUN, jnp.int32)] * 32, axis=0)
+        win32 = jnp.concatenate([win] * 32, axis=0)
+        newrow = jnp.where(lane32 < W, win32,
+                           jnp.where(lane32 == 127, stv, -1))
+        if "prov" not in SKIP:
+            prov_ref[:, :] = jnp.where(prow32 == i % 32, newrow,
+                                       prov_ref[:, :])
+
+        @pl.when(i == NTOT - 1)
+        def _fin():
+            sco_ref[:, :] = SCO[:, :]
+            val_ref[:, :] = jnp.where(VAL[:, :] > 0, 1, 0)
+
+    return kernel, C, CP, PB, BC, S0, S1
+
+
+def _pack_plane(y: np.ndarray, L: int) -> np.ndarray:
+    """[T, A+1] log-probs -> [8, L] plane (emissions, gap, cum-gap@t-1)."""
+    T, S = y.shape
+    plane = np.full((8, L), _NEG, np.float32)
+    plane[:S, :T] = y.T.astype(np.float32)
+    cum = np.cumsum(y[:, -1]).astype(np.float32)
+    plane[S, 0] = 0.0
+    plane[S, 1:T + 1] = cum
+    return plane
+
+
+@partial(jax.jit,
+         static_argnames=("B", "W", "A", "Wst0", "Wst1", "CH", "L1", "L2",
+                          "K"))
+def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
+                Wst0: int, Wst1: int, CH: int, L1: int, L2: int, K: int = 1):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = plan_mat.shape[1]
+    kernel, C, CP, PB, BC, S0, S1 = _build_kernel(B, W, A, Wst0, Wst1, CH,
+                                                  L1, L2, K=K, NTOT=N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N // K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((32 * PB, 128), lambda o: ((o * K) // 32, 0)),
+            pl.BlockSpec((PB, 128), lambda i: (0, 0)),
+            pl.BlockSpec((PB, 128), lambda i: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BC, S0), jnp.float32),   # st0
+            pltpu.VMEM((BC, S0), jnp.float32),   # ps0
+            pltpu.VMEM((BC, S1), jnp.float32),   # st1
+            pltpu.VMEM((BC, S1), jnp.float32),   # ps1
+            pltpu.VMEM((PB, 128), jnp.int32),    # K1
+            pltpu.VMEM((PB, 128), jnp.int32),    # K2
+            pltpu.VMEM((PB, 128), jnp.int32),    # PK1
+            pltpu.VMEM((PB, 128), jnp.int32),    # PK2
+            pltpu.VMEM((PB, 128), jnp.int32),    # CHR
+            pltpu.VMEM((PB, 128), jnp.int32),    # PCH
+            pltpu.VMEM((PB, 128), jnp.float32),  # VAL
+            pltpu.VMEM((PB, 128), jnp.float32),  # SCO
+            pltpu.SMEM((2 * B,), jnp.int32),     # so_s
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohP
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohFro
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohG
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohG2
+            pltpu.VMEM((BC, 1), jnp.float32),    # seeds
+            pltpu.VMEM((BC, 1), jnp.float32),    # mx0s
+            pltpu.VMEM((BC, 1), jnp.float32),    # mx
+            pltpu.VMEM((BC, max(S0, S1)), jnp.float32),  # tmp
+            pltpu.VMEM((128, PB), jnp.float32),  # bridge
+        ],
+    )
+    prov, sco, valid = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((((N + 31) // 32) * 32 * PB, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((PB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((PB, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(y1p, y2p, plan_mat)
+    return prov, sco, valid
+
+
+def _traceback(prov_b: np.ndarray, sco: np.ndarray, valid: np.ndarray,
+               n_steps: int, W: int, A: int, alphabet: str) -> str:
+    """prov_b [N, 128] for one pair: lanes 0..W-1 winner slots, 127 stype."""
+    C = W * (A + 1)
+    scores = np.where(valid[:C] > 0, sco[:C], -np.inf)
+    j = int(np.argmax(scores))
+    chars = []
+    for t in range(n_steps - 1, -1, -1):
+        if prov_b[t, 127] != MAIN:
+            continue
+        winners = prov_b[t, :W]
+        if j >= W:
+            chars.append((j - W) % A)
+            j = (j - W) // A
+        j = int(winners[j])
+        if j < 0:
+            break
+    if j >= 0:
+        chars.append(j if j < A else None)
+    out = [c for c in reversed(chars) if c is not None]
+    return "".join(alphabet[c] for c in out)
+
+
+def pair_beam_pallas_batch(pairs, beam_width: int = 5,
+                           alphabet: str = "ACGT",
+                           steps_per_grid: int = 1) -> list[str]:
+    """Batched Pallas row_col pair beam search (plain CTC).
+
+    pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
+    plans are padded to the longest with zero-width catch-runs.
+    """
+    from .beam2d_planned import plan_walk, transpose_envelope
+
+    B = len(pairs)
+    A = len(alphabet)
+    W = beam_width
+    CH = 128
+
+    plans = []
+    ys = []
+    for y1, y2, envelope in pairs:
+        y1 = np.asarray(y1)
+        y2 = np.asarray(y2)
+        U, V = len(y1), len(y2)
+        if envelope is None:
+            envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
+        env = np.asarray(envelope, dtype=np.int64)[:U]
+        env_t = transpose_envelope(env, U, V)
+        plans.append(plan_walk(env, env_t, U, V))
+        ys.append((y1, y2))
+
+    N = max(len(p["type"]) for p in plans)
+    N_pad = ((N + 511) // 512) * 512
+
+    w0 = max(
+        int(np.where(p["type"] != C1RUN, p["a_hi"] - p["a_lo"], 0).max())
+        for p in plans)
+    w1 = max(
+        int(np.where(p["type"] != C0RUN, p["b_hi"] - p["b_lo"], 0).max())
+        for p in plans)
+
+    def bucket(x, buckets=(384, 768, 1536, 3072)):
+        for bk in buckets:
+            if x <= bk:
+                return bk
+        return ((x + 1023) // 1024) * 1024
+
+    Wst0 = bucket(max(w0, 1) + 2)
+    Wst1 = bucket(max(w1, 1) + 2)
+
+    T1 = max(len(y1) for y1, _ in ys)
+    T2 = max(len(y2) for _, y2 in ys)
+    L1 = ((T1 + CH + 8 + 127) // 128) * 128
+    L2 = ((T2 + CH + 8 + 127) // 128) * 128
+    Lp = ((N_pad + 127) // 128) * 128
+
+    y1p = np.concatenate([_pack_plane(y1, L1) for y1, _ in ys])
+    y2p = np.concatenate([_pack_plane(y2, L2) for _, y2 in ys])
+
+    plan_mat = np.zeros((8 * B, Lp), np.int32)
+    for b, p in enumerate(plans):
+        n = len(p["type"])
+        plan_mat[8 * b + 0, :n] = p["type"]
+        plan_mat[8 * b + 0, n:N_pad] = C0RUN  # zero-width no-op padding
+        plan_mat[8 * b + 1, :n] = p["a_lo"]
+        plan_mat[8 * b + 2, :n] = p["a_hi"]
+        plan_mat[8 * b + 3, :n] = p["b_lo"]
+        plan_mat[8 * b + 4, :n] = p["b_hi"]
+    plan_mat = plan_mat[:, :N_pad]
+
+    prov, sco, valid = _run_kernel(
+        jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat),
+        B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid)
+    PB = max(B, 8)
+    prov = np.asarray(prov).reshape(N_pad, PB, 128)
+    sco = np.asarray(sco)
+    valid = np.asarray(valid)
+    out = []
+    for b in range(B):
+        out.append(_traceback(prov[:, b, :], sco[b], valid[b],
+                              len(plans[b]["type"]), W, A, alphabet))
+    return out

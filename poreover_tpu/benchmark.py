@@ -167,8 +167,38 @@ def homopolymer_stats(a_q: str, a_r: str, min_run: int = 4) -> dict:
     return dict(homopolymer_columns=total_hp_cols, homopolymer_errors=errors_in_hp)
 
 
+def error_position_histogram(a_q: str, a_r: str, out: dict) -> None:
+    """Accumulate relative-reference-position histograms (200 bins) of
+    mismatches/insertions/deletions — the reference's error-position
+    analysis (benchmark.py:235-243): are errors uniform or end-loaded?"""
+    ref_length = sum(1 for c in a_r if c != "-")
+    if ref_length == 0:
+        return
+    r_pos = 0
+    for x, y in zip(a_q, a_r):
+        rel = min(int(200 * r_pos / ref_length), 199)
+        if x == "-":
+            out["deletion"][rel] += 1
+        elif y == "-":
+            out["insertion"][rel] += 1
+        elif x != y:
+            out["mismatch"][rel] += 1
+        if y != "-":
+            r_pos += 1
+
+
 def benchmark_sequence_file(path: str, aligner, full: bool = False):
+    """Returns (rows, extras); extras holds the --full error-position
+    histograms and homopolymer summary for the pickle dump."""
     rows = []
+    extras = {
+        "homopolymers": {},
+        "error_positions": {
+            "insertion": np.zeros(200),
+            "deletion": np.zeros(200),
+            "mismatch": np.zeros(200),
+        },
+    }
     for name, seq in read_fastx(path):
         if not seq:
             continue
@@ -195,9 +225,12 @@ def benchmark_sequence_file(path: str, aligner, full: bool = False):
             stats = alignment_stats(a_q, a_r)
             row = dict(read=name, mapped=1, contig=contig, strand=strand, **stats)
             if full:
-                row.update(homopolymer_stats(a_q, a_r))
+                hp = homopolymer_stats(a_q, a_r)
+                row.update(hp)
+                extras["homopolymers"][name] = hp
+                error_position_histogram(a_q, a_r, extras["error_positions"])
             rows.append(row)
-    return rows
+    return rows, extras
 
 
 def _write_csv(rows, out_path):
@@ -236,16 +269,24 @@ def benchmark(args) -> None:
             file=sys.stderr,
         )
 
+    def run_one(path):
+        rows, extras = benchmark_sequence_file(path, aligner, full=args.full)
+        stem = os.path.splitext(path)[0]
+        _write_csv(rows, stem + ".benchmark.csv")
+        if args.full:
+            # reference benchmark.py:256-262: full mode dumps homopolymer +
+            # error-position results alongside the CSV
+            import pickle
+
+            with open(stem + ".benchmark.pickle", "wb") as p:
+                pickle.dump(extras, p)
+        summarize(rows, path)
+
     if args.fasta_pair:
         for suffix in (".1d.fasta", ".2d.fasta"):
-            path = args.fasta_pair + suffix
-            rows = benchmark_sequence_file(path, aligner, full=args.full)
-            _write_csv(rows, path + ".benchmark.csv")
-            summarize(rows, path)
+            run_one(args.fasta_pair + suffix)
     else:
         path = args.fasta or args.fastq
         if path is None:
             raise SystemExit("one of --fasta/--fasta_pair/--fastq is required")
-        rows = benchmark_sequence_file(path, aligner, full=args.full)
-        _write_csv(rows, path + ".benchmark.csv")
-        summarize(rows, path)
+        run_one(path)

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_dec.add_argument("--window", type=int, default=400)
     p_dec.add_argument("--beam_width", type=int, default=25)
     p_dec.add_argument("--threads", type=int, default=1)
+    p_dec.add_argument("--logging", default="info", choices=["info", "debug"])
+    p_dec.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="dump a jax.profiler trace of the run to DIR",
+    )
 
     # ---- pair-decode ----
     p_pair = subparsers.add_parser(
@@ -108,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_pair.add_argument("--single", choices=["beam", "viterbi"], default="viterbi")
     p_pair.add_argument("--logging", default="info", choices=["info", "debug"])
+    p_pair.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="dump a jax.profiler trace of the run to DIR",
+    )
     p_pair.add_argument("--debug", default=False, action="store_true")
     p_pair.add_argument(
         "--algorithm", default="beam", choices=["prefix", "beam"], help=argparse.SUPPRESS
@@ -177,5 +186,22 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     parser = build_parser()
     args = parser.parse_args(argv)
-    args.func(args)
+    # honor --logging (reference pair_decode.py:233-248 routes it to the
+    # multiprocessing logger; here one package logger covers all drivers)
+    level = {"debug": logging.DEBUG, "info": logging.INFO}[
+        getattr(args, "logging", "info")
+    ]
+    logging.getLogger("poreover_tpu").setLevel(level)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        # dump a jax.profiler trace (view with tensorboard / xprof)
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            args.func(args)
+        logging.getLogger("poreover_tpu").info(
+            "wrote jax profiler trace to %s", profile_dir
+        )
+    else:
+        args.func(args)
     print(args, file=sys.stderr)

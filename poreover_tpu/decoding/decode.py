@@ -157,7 +157,23 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
 def decode(args) -> None:
     in_files = collect_input_files(getattr(args, "in"), args.basecaller)
     log.info("found %d reads to decode", len(in_files))
-    out_path = args.out + ".fasta"
+
+    # multi-host: stride the read list across hosts, one FASTA shard each
+    # (replaces the reference's Pool fan-out, decode.py:158-162)
+    import jax
+
+    n_hosts = jax.process_count()
+    shard = ""
+    if n_hosts > 1:
+        from ..parallel.sharding import shard_reads_for_host
+
+        in_files = shard_reads_for_host(in_files)
+        shard = f".host{jax.process_index()}"
+        log.info(
+            "host %d/%d: decoding %d reads in this shard",
+            jax.process_index(), n_hosts, len(in_files),
+        )
+    out_path = args.out + shard + ".fasta"
     threads = max(int(getattr(args, "threads", 1) or 1), 1)
 
     # host IO first, isolating per-read load failures (the reference's Pool
@@ -191,3 +207,11 @@ def decode(args) -> None:
             if idx in results:
                 print(fasta_format(Path(path).stem, results[idx]), file=out_f)
     log.info("wrote %d/%d sequences to %s", len(results), len(in_files), out_path)
+
+    if n_hosts > 1:
+        from ..parallel.sharding import make_mesh, merge_stats
+
+        merged = merge_stats(
+            {"reads": len(in_files), "decoded": len(results)}, make_mesh()
+        )
+        log.info("cluster totals (all hosts): %s", merged)

@@ -26,6 +26,7 @@ import logging
 import os
 import pickle
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
@@ -34,6 +35,7 @@ from .. import native
 from ..io.trace import model_from_trace
 from ..models.transducer import MODEL_STRING
 from ..utils.fasta import fasta_format
+from ..utils.timers import timers
 from . import envelope as envelope_mod
 
 log = logging.getLogger("poreover_tpu")
@@ -248,7 +250,12 @@ def pair_decode_helper(args, _workload_sink=None):
             box_ranges.append(
                 (u - u_step, u, int(V / U * (u - u_step)), int(V / U * u))
             )
-        box_ranges.append((box_ranges[-1][1], U, box_ranges[-1][3], V))
+        if box_ranges:
+            box_ranges.append((box_ranges[-1][1], U, box_ranges[-1][3], V))
+        else:
+            # U <= window: single box covering everything (the reference
+            # crashes here, pair_decode.py:337-354 — avoidable)
+            box_ranges.append((0, U, 0, V))
         basecalls = [
             box_fn(y1, y2, i, len(box_ranges) - 1, *b)
             for i, b in enumerate(box_ranges)
@@ -265,6 +272,7 @@ def pair_decode_helper(args, _workload_sink=None):
     alignment = None
     if not args.diagonal_envelope:
         # ---- stage 1: 1D basecalls ----
+        _t0 = time.perf_counter()
         if args.single == "viterbi":
             basecall1, viterbi_path1 = model1.viterbi_decode(return_path=True)
             basecall2, viterbi_path2 = model2.viterbi_decode(return_path=True)
@@ -288,14 +296,17 @@ def pair_decode_helper(args, _workload_sink=None):
         assert len(sequence_to_signal1) == len(basecall1)
         sequence_to_signal2, _ = get_sequence_mapping(viterbi_path2, model2.kind)
         assert len(sequence_to_signal2) == len(basecall2)
+        timers.seconds["1d_basecall"] += time.perf_counter() - _t0
 
         # ---- stage 2: align the 1D basecalls ----
+        _t0 = time.perf_counter()
         if args.alignment == "full":
             a1, a2 = native.global_pair(basecall1, basecall2)[:2]
         else:
             a1, a2 = native.global_pair_banded(basecall1, basecall2)
         alignment = np.array([list(a1), list(a2)])
         sequence_identity = np.sum(alignment[0] == alignment[1]) / len(alignment[0])
+        timers.seconds["align_1d"] += time.perf_counter() - _t0
 
         if sequence_identity < 0.5:
             log.warning(
@@ -412,6 +423,7 @@ def pair_decode_helper(args, _workload_sink=None):
             )
 
     # ---- stage 3: envelope ----
+    _t0 = time.perf_counter()
     if args.diagonal_envelope:
         alignment_envelope = envelope_mod.diagonal_envelope(
             U, V, args.diagonal_width
@@ -433,6 +445,8 @@ def pair_decode_helper(args, _workload_sink=None):
             y1, y2, alignment_col, sequence_to_signal1, sequence_to_signal2,
             padding=args.padding,
         )
+
+    timers.seconds["envelope"] += time.perf_counter() - _t0
 
     if getattr(args, "debug_envelope", False):
         size = alignment_envelope[:, 1] - alignment_envelope[:, 0]
@@ -460,10 +474,21 @@ def pair_decode_helper(args, _workload_sink=None):
     # ---- stage 4: consensus ----
     decoding_fn = _consensus_fn(args, model1.kind)
     if not args.skip_matches:
-        if _workload_sink is not None:
-            _workload_sink((y1, y2, alignment_envelope), _format_result)
+        # only plain-CTC traces may enter the batched kernels; e.g. under
+        # --basecaller poreover an 8-column CSV yields a flipflop model that
+        # must take the per-pair flipflop path (ADVICE r1)
+        if _workload_sink is not None and model1.kind == "poreover":
+            _workload_sink(
+                (y1, y2, alignment_envelope), _format_result, summary
+            )
             return None
+        _t0 = time.perf_counter()
         joined_basecalls = decoding_fn(y1, y2, alignment_envelope)
+        timers.seconds["consensus_2d"] += time.perf_counter() - _t0
+        timers.add_work(
+            "consensus_2d",
+            float(np.sum(alignment_envelope[:, 1] - alignment_envelope[:, 0])),
+        )
     else:
         basecalls = []
         for b in basecall_boxes:
@@ -503,7 +528,13 @@ def _batched_consensus(workloads, args, kind: str):
             "consensus wave %d-%d/%d (one batched kernel launch)",
             i, i + len(chunk), len(workloads),
         )
+        _t0 = time.perf_counter()
         out.extend(batch_fn(chunk, beam_width=args.beam_width))
+        timers.seconds["consensus_2d"] += time.perf_counter() - _t0
+        timers.add_work(
+            "consensus_2d",
+            float(sum(np.sum(env[:, 1] - env[:, 0]) for _, _, env in chunk)),
+        )
     return out
 
 
@@ -522,14 +553,34 @@ def _batchable(args, kind: str) -> bool:
 
 
 def pair_decode(args) -> None:
+    timers.reset()
     in_path = getattr(args, "in")
     if len(in_path) == 1:
         # pairs file: one "read1 read2" pair per line (pair_decode.py:252-297)
         with open(in_path[0]) as f:
             pairs = [line.split() for line in f if line.split()]
-        out_1d = open(args.out + ".1d.fasta", "w")
-        out_2d = open(args.out + ".2d.fasta", "w")
-        log_f = open(args.out + ".log", "w", 1)
+
+        # ---- multi-host scale-out: each host decodes a stride of the
+        # pairs list and writes its own output shard; counters merge over
+        # the mesh at the end. Replaces the reference's single-machine Pool
+        # fan-out (pair_decode.py:292-297) with jax.distributed sharding.
+        import jax
+
+        n_hosts = jax.process_count()
+        if n_hosts > 1:
+            from ..parallel.sharding import shard_reads_for_host
+
+            pairs = shard_reads_for_host(pairs)
+            shard = f".host{jax.process_index()}"
+            log.info(
+                "host %d/%d: decoding %d pairs in this shard",
+                jax.process_index(), n_hosts, len(pairs),
+            )
+        else:
+            shard = ""
+        out_1d = open(args.out + shard + ".1d.fasta", "w")
+        out_2d = open(args.out + shard + ".2d.fasta", "w")
+        log_f = open(args.out + shard + ".log", "w", 1)
         print("# PoreOver-TPU pair-decode", file=log_f)
         print("# " + str(vars(args)), file=log_f)
         print("# " + "\t".join(LOG_COLUMNS), file=log_f)
@@ -539,7 +590,6 @@ def pair_decode(args) -> None:
                 "guppy": "flipflop", "flappie": "flipflop"}.get(
                     args.basecaller, args.basecaller)
         batching = _batchable(args, kind)
-        pending: list[tuple] = []  # (workload, finish) awaiting batched stage 4
 
         def emit(result):
             if result is None:
@@ -565,22 +615,99 @@ def pair_decode(args) -> None:
 
         import copy
 
-        sink = (lambda wl, finish: pending.append((wl, finish))) if batching else None
-        for pair in pairs:
+        # Results are buffered per pair index and emitted strictly in input
+        # order (a --threads N run writes identical files to --threads 1;
+        # the reference's Pool callback order was nondeterministic). Batched
+        # stage-4 workloads flush in waves of `wave` pairs so host memory
+        # holds at most one wave of log-prob planes (ADVICE r1) and TPU work
+        # overlaps the next pairs' host-side stages 1-3.
+        wave = max(int(args.threads), 1)
+        results: dict[int, tuple | None] = {}
+        pending: list[tuple] = []  # (pair idx, workload, finish, summary)
+        emit_cursor = 0
+
+        def emit_ready():
+            nonlocal emit_cursor
+            while emit_cursor < len(pairs) and emit_cursor in results:
+                emit(results[emit_cursor])
+                emit_cursor += 1
+
+        def flush_pending():
+            if not pending:
+                return
+            try:
+                seqs = _batched_consensus(
+                    [wl for _, wl, _, _ in pending], args, kind
+                )
+            except Exception:
+                log.exception(
+                    "batched consensus wave failed; falling back per-pair"
+                )
+                decoding_fn = _consensus_fn(args, kind)
+                seqs = []
+                for _, wl, _, _ in pending:
+                    try:
+                        seqs.append(decoding_fn(*wl))
+                    except Exception:
+                        log.exception("per-pair consensus failed; skipping")
+                        seqs.append(None)
+            for (idx, wl, finish, summ), seq in zip(pending, seqs):
+                if seq is None:
+                    results[idx] = ({**summ, "skipped": 1},)
+                else:
+                    results[idx] = finish(seq)
+            pending.clear()
+            emit_ready()
+
+        for idx, pair in enumerate(pairs):
             args_copy = copy.copy(args)
             setattr(args_copy, "in", pair)
-            emit(pair_decode_helper(args_copy, _workload_sink=sink))
-
-        if pending:
-            seqs = _batched_consensus([wl for wl, _ in pending], args, kind)
-            for (wl, finish), seq in zip(pending, seqs):
-                emit(finish(seq))
+            sink = (
+                (lambda wl, finish, summ, idx=idx:
+                 pending.append((idx, wl, finish, summ)))
+                if batching else None
+            )
+            try:
+                r = pair_decode_helper(args_copy, _workload_sink=sink)
+            except Exception as exc:
+                # one corrupt trace must not abort the whole pairs file (the
+                # reference's Pool.apply_async swallows worker crashes)
+                log.warning("pair %s failed: %s", pair, exc)
+                r = ({"read1": pair[0], "read2": pair[1], "skipped": 1},)
+            if r is not None:
+                results[idx] = r
+            emit_ready()
+            if len(pending) >= wave:
+                flush_pending()
+        flush_pending()
+        emit_ready()
 
         out_1d.close()
         out_2d.close()
         log_f.close()
+        timers.log_summary("pair-decode stage timers")
+
+        if n_hosts > 1:
+            # collective-merged run totals (every host must participate)
+            from ..parallel.sharding import make_mesh, merge_stats
+
+            skipped = sum(
+                1 for r in results.values()
+                if r and r[-1].get("skipped") in (1, "1")
+            )
+            merged = merge_stats(
+                {
+                    "pairs": len(pairs),
+                    "skipped": skipped,
+                    "consensus_cells": timers.counts.get("consensus_2d", 0.0),
+                    "consensus_s": timers.seconds.get("consensus_2d", 0.0),
+                },
+                make_mesh(),
+            )
+            log.info("cluster totals (all hosts): %s", merged)
     else:
         result = pair_decode_helper(args)
         print(result[-1], file=sys.stderr)
         with open(args.out + ".fasta", "w") as f:
             print(result[-2] if len(result) > 1 else "", file=f)
+        timers.log_summary("pair-decode stage timers")

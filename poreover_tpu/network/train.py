@@ -16,6 +16,7 @@ import json
 import logging
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -155,8 +156,17 @@ def train(args) -> None:
         len(train_batches), B, len(test_batches),
     )
 
+    # scalar metrics stream to metrics.jsonl (one JSON object per event) —
+    # the TPU build's equivalent of the reference's TF summary writer
+    # (network.py:90,115-122); readable with pandas.read_json(lines=True)
+    metrics_f = open(os.path.join(out_dir, "metrics.jsonl"), "w", 1)
+
+    def emit_metric(**kv):
+        print(json.dumps(kv), file=metrics_f)
+
     t = 0
     checkpoint = 0
+    t_start = time.perf_counter()
     for _epoch in range(args.epochs):
         for X, y, ylen in train_batches:
             params, opt_state, loss = update(
@@ -175,7 +185,13 @@ def train(args) -> None:
                         f"Iteration:{t}\tEdit distance (test):{err}",
                         file=sys.stderr,
                     )
+                    emit_metric(step=t, test_edit_distance=float(err))
             if t % args.loss_every == 0:
                 print(f"Iteration:{t}\tLoss:{float(loss)}", file=sys.stderr)
+                emit_metric(
+                    step=t, loss=float(loss),
+                    elapsed_s=round(time.perf_counter() - t_start, 3),
+                )
             t += 1
     save_params(params, os.path.join(out_dir, "final"), arch_config)
+    metrics_f.close()

@@ -38,21 +38,31 @@ def shard_reads_for_host(items):
 
 
 def merge_stats(stats: dict, mesh: Mesh) -> dict:
-    """All-reduce scalar counters across the mesh (sum)."""
+    """Sum genuinely per-host scalar counters across all hosts.
+
+    Each host contributes its ``stats`` exactly once: the values are placed
+    in the shard of its first local device and zeros elsewhere, so a global
+    sum over the 'data' axis is the true cross-host total — no
+    divide-by-device-count replication hack (that was only correct when all
+    hosts fed identical values). Works unchanged on a single process.
+    """
     keys = sorted(stats)
-    vec = jnp.asarray([float(stats[k]) for k in keys])
-
-    @partial(
-        jax.shard_map, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+    K = max(len(keys), 1)
+    n_local = jax.local_device_count()
+    n_global = len(mesh.devices.reshape(-1))
+    local = np.zeros((n_local, K), np.float32)
+    if keys:
+        local[0] = [float(stats[k]) for k in keys]
+    sharding = NamedSharding(mesh, P("data"))
+    garr = jax.make_array_from_process_local_data(
+        sharding, local, (n_global, K)
     )
-    def allsum(x):
-        return jax.lax.psum(x, axis_name="data")
 
-    # replicated input: each device contributes once per host; for the
-    # single-process case this is the identity times device count, so feed
-    # per-device shares instead
-    vec = vec / len(mesh.devices.reshape(-1))
-    out = allsum(vec)
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def allsum(x):
+        return jnp.sum(x, axis=0)  # XLA inserts the cross-host reduce
+
+    out = np.asarray(allsum(garr))
     return {k: float(v) for k, v in zip(keys, out)}
 
 

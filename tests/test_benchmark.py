@@ -78,8 +78,13 @@ def test_benchmark_noisy_reads(tmp_path, genome):
     fasta = tmp_path / "reads.fasta"
     fasta.write_text("".join(f">{n}\n{s}\n" for n, s in reads))
     idx = KmerIndex(path)
-    rows = benchmark_sequence_file(str(fasta), idx, full=True)
+    rows, extras = benchmark_sequence_file(str(fasta), idx, full=True)
     assert all(r["mapped"] for r in rows)
     ids = [r["identity"] for r in rows]
     assert all(0.85 < x <= 1.0 for x in ids), ids
     assert all("homopolymer_columns" in r for r in rows)
+    # error-position histograms accumulated (mutated reads must show errors)
+    hist = extras["error_positions"]
+    assert set(hist) == {"insertion", "deletion", "mismatch"}
+    assert sum(h.sum() for h in hist.values()) > 0
+    assert all(h.shape == (200,) for h in hist.values())

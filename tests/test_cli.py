@@ -211,3 +211,50 @@ def test_cli_pairs_file_batched(tmp_path):
                        shallow=False)
     assert filecmp.cmp(tmp_path / "seq.1d.fasta", tmp_path / "bat.1d.fasta",
                        shallow=False)
+
+
+def test_cli_pairs_file_fault_isolation(tmp_path):
+    """A corrupt trace in a pairs file yields a skipped log row; the other
+    pairs still decode, in input order, with or without batching (the
+    reference's Pool isolates worker crashes — we must not do worse)."""
+    pairs_lines = []
+    for s in (20, 30):
+        p1, p2 = _noisy_pair(tmp_path, seed=s)
+        q1 = tmp_path / f"r{s}_1.npy"
+        q2 = tmp_path / f"r{s}_2.npy"
+        os.rename(p1, q1)
+        os.rename(p2, q2)
+        pairs_lines.append(f"{q1.name} {q2.name}")
+    # corrupt pair spliced into the middle
+    np.save(tmp_path / "bad.npy", np.zeros((2, 2, 2)))
+    pairs_lines.insert(1, "bad.npy bad.npy")
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text("\n".join(pairs_lines) + "\n")
+
+    for name, extra in (("seq", []), ("bat", ["--threads", "2"])):
+        main([
+            "pair-decode", str(pairs), "--basecaller", "poreover",
+            "--dir", str(tmp_path), "--out", str(tmp_path / name),
+            "--padding", "10", *extra,
+        ])
+        log_rows = [
+            l.split("\t") for l in (tmp_path / f"{name}.log").read_text().splitlines()
+            if l and not l.startswith("#")
+        ]
+        assert len(log_rows) == 3
+        assert log_rows[1][0] == "bad.npy" and log_rows[1][-1] == "1"
+        fasta = (tmp_path / f"{name}.2d.fasta").read_text()
+        assert fasta.count(">") == 2
+
+    import filecmp
+
+    for suffix in (".2d.fasta", ".1d.fasta", ".log"):
+        a, b = tmp_path / f"seq{suffix}", tmp_path / f"bat{suffix}"
+        if suffix == ".log":
+            # strip the arg-dump header line (threads differ by design)
+            strip = lambda p: "\n".join(
+                l for l in p.read_text().splitlines() if not l.startswith("# {")
+            )
+            assert strip(a) == strip(b)
+        else:
+            assert filecmp.cmp(a, b, shallow=False)

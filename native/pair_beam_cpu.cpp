@@ -130,7 +130,8 @@ extern "C" {
 // writes sequence into out (caller allocates U+V+1).
 int pair_beam_row_col_cpu_impl(const double* y1, int U, const double* y2,
                                int V, const int64_t* envelope, int beam_width,
-                               char* out, bool emulate, int grace = 1) {
+                               char* out, bool emulate, int grace = 1,
+                               int64_t* stats = nullptr) {
   const int A = 4;
   PairSearch search(y1, U, y2, V, A);
   search.emulate = emulate;
@@ -213,6 +214,17 @@ int pair_beam_row_col_cpu_impl(const double* y1, int U, const double* y2,
       // grace-1)
       std::unordered_map<PairNode*, bool> keep;
       for (auto* n : beam) keep[n] = true;
+      // rejoin statistics (exactness-gap sizing): how absent was a node
+      // when it re-entered the table, and how large the graveyard gets
+      if (stats) {
+        for (auto* n : beam) {
+          if (n->absent > 0) {
+            int a = n->absent < 31 ? n->absent : 31;
+            ++stats[a];  // stats[1..31]: rejoin absence histogram
+          }
+          if (!n->in_table) ++stats[32];  // rejoined AFTER full eviction
+        }
+      }
       std::vector<PairNode*> still;
       for (auto* n : table_nodes) {
         if (keep.count(n)) continue;  // re-added below
@@ -236,6 +248,8 @@ int pair_beam_row_col_cpu_impl(const double* y1, int U, const double* y2,
         table_nodes.push_back(n);
       }
       for (auto* n : still) table_nodes.push_back(n);
+      if (stats && (int64_t)still.size() > stats[0])
+        stats[0] = (int64_t)still.size();  // stats[0]: max graveyard size
     }
     std::sort(beam.begin(), beam.end(), [](PairNode* a, PairNode* b) {
       return a->max_prob[0] + a->max_prob[1] > b->max_prob[0] + b->max_prob[1];
@@ -273,6 +287,17 @@ int pair_beam_row_col_cpu_emul_grace(const double* y1, int U,
                                      int grace, char* out) {
   return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
                                     true, grace);
+}
+
+// same, also filling stats[33]: [0] max graveyard size, [1..31] rejoin
+// absence histogram, [32] rejoins after full eviction (lost memo)
+int pair_beam_row_col_cpu_emul_stats(const double* y1, int U,
+                                     const double* y2, int V,
+                                     const int64_t* envelope, int beam_width,
+                                     int grace, char* out, int64_t* stats) {
+  for (int i = 0; i < 33; ++i) stats[i] = 0;
+  return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
+                                    true, grace, stats);
 }
 
 }  // extern "C"

@@ -131,7 +131,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                st0, ps0, st1, ps1,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                so_s, ohP, ohFro, ohG, ohG2,
-               seeds, mx0s, mx, tmp, bridge):
+               seeds, mx0s, mx, tmp, bridge, plan_s, plan_sem):
         for _k in range(K):
             _step_body(pl.program_id(0) * K + _k,
                        y1_ref, y2_ref, plan_ref,
@@ -139,14 +139,14 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                        st0, ps0, st1, ps1,
                        K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                        so_s, ohP, ohFro, ohG, ohG2,
-                       seeds, mx0s, mx, tmp, bridge)
+                       seeds, mx0s, mx, tmp, bridge, plan_s, plan_sem)
 
     def _step_body(i, y1_ref, y2_ref, plan_ref,
                    prov_ref, sco_ref, val_ref,
                    st0, ps0, st1, ps1,
                    K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                    so_s, ohP, ohFro, ohG, ohG2,
-                   seeds, mx0s, mx, tmp, bridge):
+                   seeds, mx0s, mx, tmp, bridge, plan_s, plan_sem):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
         prow = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 0)
@@ -160,17 +160,28 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         cloc = (crow % 128) // CP * CP
         in_batch = prow < B
 
-        # ---- per-pair plan scalars ----
+        # ---- per-pair plan scalars, read from SMEM ----
+        # The plan lives in HBM (ANY) and is DMA'd to SMEM one 128-step
+        # block at a time; per-step scalar reads are then native SMEM
+        # loads. (Reading scalars out of a VMEM vector forces a VPU->SMEM
+        # sync per value — 5*B of them dominated the whole step: probed
+        # ~130us/step at B=8 with everything else removed.)
         pb = pl.multiple_of((i // 128) * 128, 128)
         pcol = i - pb
-        pmat = plan_ref[:, pl.ds(pb, 128)]
-        psel = jax.lax.broadcasted_iota(jnp.int32, (8 * B, 128), 1) == pcol
-        pvals = jnp.sum(jnp.where(psel, pmat, 0), axis=1)
-        stype = [pvals[8 * b + 0] for b in range(B)]
-        alo = [pvals[8 * b + 1] for b in range(B)]
-        ahi = [pvals[8 * b + 2] for b in range(B)]
-        blo = [pvals[8 * b + 3] for b in range(B)]
-        bhi = [pvals[8 * b + 4] for b in range(B)]
+
+        @pl.when(pcol == 0)
+        def _load_plan():
+            dma = pltpu.make_async_copy(
+                plan_ref.at[:, pl.ds(pb, 128)], plan_s, plan_sem
+            )
+            dma.start()
+            dma.wait()
+
+        stype = [plan_s[8 * b + 0, pcol] for b in range(B)]
+        alo = [plan_s[8 * b + 1, pcol] for b in range(B)]
+        ahi = [plan_s[8 * b + 2, pcol] for b in range(B)]
+        blo = [plan_s[8 * b + 3, pcol] for b in range(B)]
+        bhi = [plan_s[8 * b + 4, pcol] for b in range(B)]
 
         def scal_vec(scalars, default, dtype=jnp.float32):
             v = jnp.full((PB, LN), default, dtype)
@@ -240,7 +251,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         wokv = jnp.zeros((PB, LN), jnp.int32)
 
         BIG = jnp.int32(LN + 1)
-        for w in range(W):
+        for w in range([0, W]["wsel" not in SKIP]):
             s_m = jnp.where(avail, sco, _NEG)
             has = jnp.max(jnp.where(avail, 1.0, 0.0), axis=1,
                           keepdims=True) > 0
@@ -307,7 +318,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         # stale-row source: stay lanes <- winner slot; child lanes <- first
         # OLD slot holding the child key (if any)
         old_hit = jnp.full((PB, LN), -1, jnp.int32)
-        for t in range(C):
+        for t in range([0, C]["oldhit" not in SKIP]):
             lt = lane == t
             kt1 = jnp.sum(jnp.where(lt, k1, 0), axis=1, keepdims=True)
             kt2 = jnp.sum(jnp.where(lt, k2, 0), axis=1, keepdims=True)
@@ -345,7 +356,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         is_root_par = (fpk1 == 0) & (fpk2 == 0)
         par_slot = jnp.full((PB, LN), -1, jnp.int32)
         par_slot2 = jnp.full((PB, LN), -1, jnp.int32)
-        for t in range(C):
+        for t in range([0, C]["parslot" not in SKIP]):
             lt = lane == t
             kt1 = jnp.sum(jnp.where(lt, fk1, 0), axis=1, keepdims=True)
             kt2 = jnp.sum(jnp.where(lt, fk2, 0), axis=1, keepdims=True)
@@ -363,6 +374,8 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         bi = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
 
         def lane_to_rows(x):
+            if "bridge" in SKIP:
+                return jnp.zeros((BC, 1), jnp.float32)
             bridge[:, :] = jnp.transpose(x.astype(jnp.float32))  # [LN, PB]
             bv = bridge[:, :]
             # masked lane-reduce per pair: forces a uniform lane-0 layout
@@ -672,7 +685,7 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((32 * PB, 128), lambda o: ((o * K) // 32, 0)),
@@ -702,6 +715,8 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((BC, 1), jnp.float32),    # mx
             pltpu.VMEM((BC, max(S0, S1)), jnp.float32),  # tmp
             pltpu.VMEM((128, PB), jnp.float32),  # bridge
+            pltpu.SMEM((8 * B, 128), jnp.int32),  # plan_s
+            pltpu.SemaphoreType.DMA,              # plan_sem
         ],
     )
     prov, sco, valid = pl.pallas_call(

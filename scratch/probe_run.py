@@ -60,7 +60,7 @@ for b in range(B):
 plan_mat = plan_mat[:, :N_pad]
 
 args = (jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat))
-kw = dict(B=B, W=5, A=4, Wst0=Wst0, Wst1=Wst1, CH=CH, L1=L1, L2=L2, K=1)
+kw = dict(B=B, W=5, A=4, Wst0=Wst0, Wst1=Wst1, CH=CH, L1=L1, L2=L2, K=int(os.environ.get("PPB_K", "1")))
 
 t0 = time.time()
 out = probe._run_kernel(*args, **kw)

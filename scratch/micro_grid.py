@@ -25,6 +25,95 @@ prov_big = MODE not in ("noprov", "noouts")
 multi_out = MODE != "noouts"
 scr = MODE != "noscr"
 
+if MODE in ("any1", "any3"):
+    nout = 1 if MODE == "any1" else 3
+
+    def kernel(*refs):
+        i = pl.program_id(0)
+
+    @jax.jit
+    def run(y1, y2, plan):
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((8, 128), jnp.float32)] * nout,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(N,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                + [pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nout,
+                scratch_shapes=[
+                    pltpu.VMEM((BC, S0), jnp.float32), pltpu.VMEM((BC, S0), jnp.float32),
+                    pltpu.VMEM((BC, S1), jnp.float32), pltpu.VMEM((BC, S1), jnp.float32),
+                    pltpu.VMEM((BC, max(S0, S1)), jnp.float32),
+                ]),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(y1, y2, plan)
+
+    ins = [jnp.zeros((64, L1), jnp.float32), jnp.zeros((64, L2), jnp.float32),
+           jnp.zeros((64, Lp), jnp.int32)]
+    t0 = time.time(); r = [np.asarray(o) for o in run(*ins)]
+    print(f"# warm {time.time()-t0:.1f}s", file=sys.stderr)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time(); r = [np.asarray(o) for o in run(*ins)]
+        best = min(best, time.time() - t0)
+    print(f"MODE={MODE} total={best:.4f}s per_step={best/N*1e6:.2f}us")
+    sys.exit(0)
+
+if MODE == "anyouts":
+    # 3 HBM outputs + per-32-step DMA flush from scratch — the form the
+    # real kernel uses after the output rework
+    def kernel(y1, y2, plan, prov, sco, val, st0, ps0, st1, ps1, tmp,
+               pv_s, sem):
+        i = pl.program_id(0)
+        pv_s[:, :] = jnp.full((32 * 8, 128), i, jnp.int32)
+
+        @pl.when(i % 32 == 31)
+        def _():
+            cp = pltpu.make_async_copy(
+                pv_s, prov.at[pl.ds((i // 32) * 256, 256), :], sem.at[0])
+            cp.start()
+            cp.wait()
+
+    @jax.jit
+    def run(y1, y2, plan):
+        return pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((((N + 31) // 32) * 32 * 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(N,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                + [pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+                scratch_shapes=[
+                    pltpu.VMEM((BC, S0), jnp.float32), pltpu.VMEM((BC, S0), jnp.float32),
+                    pltpu.VMEM((BC, S1), jnp.float32), pltpu.VMEM((BC, S1), jnp.float32),
+                    pltpu.VMEM((BC, max(S0, S1)), jnp.float32),
+                    pltpu.VMEM((32 * 8, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(y1, y2, plan)
+
+    ins = [jnp.zeros((64, L1), jnp.float32), jnp.zeros((64, L2), jnp.float32),
+           jnp.zeros((64, Lp), jnp.int32)]
+    t0 = time.time(); r = [np.asarray(o) for o in run(*ins)]
+    print(f"# warm {time.time()-t0:.1f}s", file=sys.stderr)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time(); r = [np.asarray(o) for o in run(*ins)]
+        best = min(best, time.time() - t0)
+    print(f"MODE={MODE} total={best:.4f}s per_step={best/N*1e6:.2f}us")
+    sys.exit(0)
+
 def kernel(*refs):
     i = pl.program_id(0)
     sco = refs[3 if big_y else 1] if multi_out else refs[1 if not big_y else 3]

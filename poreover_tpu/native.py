@@ -88,8 +88,35 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
         ndpointer(_np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.plan_walk_native.restype = ctypes.c_int
+    lib.plan_walk_native.argtypes = [
+        ndpointer(_np.int64, flags="C_CONTIGUOUS"), ctypes.c_int,
+        ctypes.c_int, ndpointer(_np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
+
+
+def plan_walk_native(env, U: int, V: int):
+    """C++ plan builder (see native/plan_walk.cpp); returns the same dict
+    as beam2d_planned.plan_walk or None if the library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "plan_walk_native"):
+        return None
+    env = np.ascontiguousarray(env, dtype=np.int64)
+    cap = U + V + 2
+    out = np.empty((cap, 5), np.int32)
+    n = lib.plan_walk_native(env, U, V, out.reshape(-1), cap)
+    if n < 0:
+        return None
+    arr = out[:n]
+    return dict(
+        type=arr[:, 0].copy(), a_lo=arr[:, 1].copy(), a_hi=arr[:, 2].copy(),
+        b_lo=arr[:, 3].copy(), b_hi=arr[:, 4].copy(),
+    )
 
 
 def fit_align(query: str, ref_window: str, match=2, mismatch=-1, gap_cost=-1):

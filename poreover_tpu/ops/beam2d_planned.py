@@ -41,6 +41,18 @@ CHUNK = 128
 MAIN, C0RUN, C1RUN = 0, 1, 2
 
 
+def build_plan(env: np.ndarray, U: int, V: int):
+    """Plan for an envelope: C++ fast path (native/plan_walk.cpp, ~2 ms)
+    with the pure-Python walk as fallback (~0.7 s on real reads)."""
+    from .. import native
+
+    plan = native.plan_walk_native(np.asarray(env, dtype=np.int64)[:U], U, V)
+    if plan is not None:
+        return plan
+    env = np.asarray(env, dtype=np.int64)[:U]
+    return plan_walk(env, transpose_envelope(env, U, V), U, V)
+
+
 def plan_walk(env: np.ndarray, env_t: np.ndarray, U: int, V: int):
     """Simulate the reference walk on host; emit the merged step plan.
 
@@ -531,8 +543,7 @@ def debug_state_after(y1, y2, envelope, n_steps=None, beam_width=5,
     A = len(alphabet)
     model_id = _MODEL_IDS[model]
     env = np.asarray(envelope, dtype=np.int64)[:U]
-    env_t = transpose_envelope(env, U, V)
-    plan = plan_walk(env, env_t, U, V)
+    plan = build_plan(env, U, V)
     # Wst config from the full plan; truncation pads back to full length with
     # zero-width catch-runs (score/key no-ops) so one compile serves every n
     w0 = np.where(plan["type"] != C1RUN, plan["a_hi"] - plan["a_lo"], 0)
@@ -593,8 +604,7 @@ def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
         if envelope is None:
             envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
         env = np.asarray(envelope, dtype=np.int64)[:U]
-        env_t = transpose_envelope(env, U, V)
-        plans.append(plan_walk(env, env_t, U, V))
+        plans.append(build_plan(env, U, V))
 
     N_max = max(len(p["type"]) for p in plans)
     T1 = max(len(p[0]) for p in pairs)
@@ -653,8 +663,7 @@ def beam_search_2d_planned(y1, y2, envelope, beam_width=5, alphabet="ACGT",
     if envelope is None:
         envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
     env = np.asarray(envelope, dtype=np.int64)[:U]
-    env_t = transpose_envelope(env, U, V)
-    plan = plan_walk(env, env_t, U, V)
+    plan = build_plan(env, U, V)
     if len(plan["type"]) == 0:
         return ""
 

@@ -682,9 +682,32 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
                      alphabet: str = "ACGT", interpret: bool = False,
                      n_steps: int | None = None,
                      return_state: bool = False) -> str:
-    """Pallas-kernel row_col pair beam search (plain CTC)."""
-    from .beam2d_planned import C0RUN as PC0, C1RUN as PC1, plan_walk
-    from .beam2d_rowcol import transpose_envelope
+    """Pallas-kernel row_col pair beam search (plain CTC).
+
+    Single-pair entry point. The default path delegates to the batched
+    mega-kernel at B=1 (ops/pallas_pair_beam_batch.py), which carries the
+    HBM-output + packed-provenance perf fixes; this module's legacy kernel
+    remains directly reachable for debugging (`n_steps`/`return_state`/
+    `interpret`) and as an independent implementation for differential
+    tests."""
+    if not (interpret or n_steps is not None or return_state):
+        from .pallas_pair_beam_batch import pair_beam_pallas_batch
+
+        return pair_beam_pallas_batch(
+            [(y1, y2, envelope)], beam_width=beam_width, alphabet=alphabet
+        )[0]
+    return pair_beam_pallas_legacy(
+        y1, y2, envelope, beam_width=beam_width, alphabet=alphabet,
+        interpret=interpret, n_steps=n_steps, return_state=return_state,
+    )
+
+
+def pair_beam_pallas_legacy(y1, y2, envelope, beam_width: int = 5,
+                            alphabet: str = "ACGT", interpret: bool = False,
+                            n_steps: int | None = None,
+                            return_state: bool = False) -> str:
+    """Round-1 single-pair mega-kernel (per-step windowed VMEM outputs)."""
+    from .beam2d_planned import C0RUN as PC0, C1RUN as PC1, build_plan
 
     y1 = np.asarray(y1)
     y2 = np.asarray(y2)
@@ -692,8 +715,7 @@ def pair_beam_pallas(y1, y2, envelope, beam_width: int = 5,
     A = len(alphabet)
     W = beam_width
     env = np.asarray(envelope, dtype=np.int64)[:U]
-    env_t = transpose_envelope(env, U, V)
-    plan = plan_walk(env, env_t, U, V)
+    plan = build_plan(env, U, V)
     if len(plan["type"]) == 0:
         return ""
 

@@ -778,7 +778,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
     pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
     plans are padded to the longest with zero-width catch-runs.
     """
-    from .beam2d_planned import plan_walk, transpose_envelope
+    from .beam2d_planned import build_plan
 
     B = len(pairs)
     A = len(alphabet)
@@ -794,8 +794,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         if envelope is None:
             envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
         env = np.asarray(envelope, dtype=np.int64)[:U]
-        env_t = transpose_envelope(env, U, V)
-        plans.append(plan_walk(env, env_t, U, V))
+        plans.append(build_plan(env, U, V))
         ys.append((y1, y2))
 
     N = max(len(p["type"]) for p in plans)

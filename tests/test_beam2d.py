@@ -285,3 +285,35 @@ class TestGridMethod:
         y = np.zeros((4000, 5))
         with pytest.raises(MemoryError):
             beam_search_2d(y, y, beam_width=5, method="grid")
+
+
+def test_native_plan_walk_matches_python():
+    """C++ plan builder (native/plan_walk.cpp) must reproduce the Python
+    walk exactly, including degenerate/uncovered envelope shapes."""
+    import numpy as np
+
+    from poreover_tpu import native
+    from poreover_tpu.ops.beam2d_planned import plan_walk, transpose_envelope
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    cases = []
+    for U, V in [(40, 55), (80, 30), (64, 64)]:
+        lo = np.clip(np.sort(rng.integers(0, V, U)), 0, V - 1)
+        hi = np.clip(lo + rng.integers(1, 12, U), 1, V)
+        cases.append(np.stack([lo, hi], axis=1).astype(np.int64))
+        cases.append(np.tile(np.array([0, V], dtype=np.int64), (U, 1)))
+    # degenerate: rows with empty ranges
+    e = cases[0].copy()
+    e[5:9, 1] = e[5:9, 0]
+    cases.append(e)
+    for env in cases:
+        U = len(env)
+        V = int(env[:, 1].max())
+        ref = plan_walk(env, transpose_envelope(env, U, V), U, V)
+        got = native.plan_walk_native(env, U, V)
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=k)

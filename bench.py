@@ -284,6 +284,15 @@ def bench_pair():
     ]
     cpu_time = time.perf_counter() - t0
 
+    # correctness: (a) vs the f64 windowed-memo oracle — same semantics,
+    # double precision; occasional sub-n/n here is an f32 near-tie flip
+    # (verified: the independent XLA f32 engine produces the identical
+    # sequence), see docs/EXACTNESS.md; (b) semantic gap vs the unbounded
+    # trie — bounded, same doc
+    oracle_match = sum(
+        native.pair_beam_row_col_cpu_emul(y1, y2, env, beam_width=5) == s
+        for (y1, y2, env), s in zip(workloads, seqs_tpu)
+    )
     n_match = sum(a == b for a, b in zip(seqs_tpu, seqs_cpu))
     idents = []
     for a, b in zip(seqs_tpu, seqs_cpu):
@@ -298,12 +307,15 @@ def bench_pair():
         bases_per_s=round(sum(len(s) for s in seqs_tpu) / tpu_time, 1),
         tpu_s=round(tpu_time, 3), cpu_s=round(cpu_time, 3),
         vs_baseline=round(vs, 3),
-        exact_match=f"{n_match}/{n_pairs}",
-        min_identity=round(min(idents), 5),
+        oracle_exact=f"{oracle_match}/{n_pairs}",
+        trie_match=f"{n_match}/{n_pairs}",
+        min_trie_identity=round(min(idents), 5),
     )
     log(f"pair[{engine}]: {n_pairs} pairs tpu={tpu_time:.2f}s "
         f"cpu={cpu_time:.2f}s ({vs:.2f}x) "
-        f"match={n_match}/{n_pairs} min_ident={min(idents):.4f} "
+        f"oracle_exact={oracle_match}/{n_pairs} "
+        f"trie_match={n_match}/{n_pairs} "
+        f"min_trie_ident={min(idents):.4f} "
         f"{cells/tpu_time/1e6:.2f}M cells/s")
 
 

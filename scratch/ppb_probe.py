@@ -37,10 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_NEG = np.float32(-1e30)
 SKIP = set(filter(None, os.environ.get("PPB_SKIP", "").split(",")))
 LAYERS_OVERRIDE = int(os.environ.get("PPB_LAYERS", "0"))
-
-_NEG = np.float32(-1e30)
 
 MAIN, C0RUN, C1RUN = 0, 1, 2
 
@@ -131,7 +130,8 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                st0, ps0, st1, ps1,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                so_s, ohP, ohFro, ohG, ohG2,
-               seeds, mx0s, mx, tmp, bridge, plan_s, plan_sem):
+               seeds, mx0s, mx, tmp, bridge,
+               plan_s, pv_s, dma_sem):
         for _k in range(K):
             _step_body(pl.program_id(0) * K + _k,
                        y1_ref, y2_ref, plan_ref,
@@ -139,14 +139,16 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                        st0, ps0, st1, ps1,
                        K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                        so_s, ohP, ohFro, ohG, ohG2,
-                       seeds, mx0s, mx, tmp, bridge, plan_s, plan_sem)
+                       seeds, mx0s, mx, tmp, bridge,
+                       plan_s, pv_s, dma_sem)
 
     def _step_body(i, y1_ref, y2_ref, plan_ref,
                    prov_ref, sco_ref, val_ref,
                    st0, ps0, st1, ps1,
                    K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                    so_s, ohP, ohFro, ohG, ohG2,
-                   seeds, mx0s, mx, tmp, bridge, plan_s, plan_sem):
+                   seeds, mx0s, mx, tmp, bridge,
+                   plan_s, pv_s, dma_sem):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
         prow = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 0)
@@ -161,21 +163,20 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         in_batch = prow < B
 
         # ---- per-pair plan scalars, read from SMEM ----
-        # The plan lives in HBM (ANY) and is DMA'd to SMEM one 128-step
-        # block at a time; per-step scalar reads are then native SMEM
-        # loads. (Reading scalars out of a VMEM vector forces a VPU->SMEM
-        # sync per value — 5*B of them dominated the whole step: probed
-        # ~130us/step at B=8 with everything else removed.)
+        # The plan lives in HBM (ANY) and is DMA'd into SMEM one 128-step
+        # block at a time, so per-step reads are native scalar-core loads
+        # (reading scalars out of a VMEM vector costs a VPU->SMEM sync per
+        # value — 5*B of those per step measurably hurt).
         pb = pl.multiple_of((i // 128) * 128, 128)
         pcol = i - pb
 
         @pl.when(pcol == 0)
         def _load_plan():
-            dma = pltpu.make_async_copy(
-                plan_ref.at[:, pl.ds(pb, 128)], plan_s, plan_sem
+            cp = pltpu.make_async_copy(
+                plan_ref.at[:, pl.ds(pb, 128)], plan_s, dma_sem.at[0]
             )
-            dma.start()
-            dma.wait()
+            cp.start()
+            cp.wait()
 
         stype = [plan_s[8 * b + 0, pcol] for b in range(B)]
         alo = [plan_s[8 * b + 1, pcol] for b in range(B)]
@@ -633,25 +634,42 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         new_sco = jnp.where((fval > 0) & (lane < C), sc_lanes, _NEG)
         SCO[:, :] = jnp.where(im, new_sco, sco)
 
-        # ---- provenance: winner slots in lanes 0..W-1, stype in lane 127.
-        # 32 steps share one output block (row group i % 32): switching the
-        # output block every step costs a synchronous HBM DMA per step,
-        # which dominated the whole kernel (measured 430us/step).
-        prow32 = jax.lax.broadcasted_iota(jnp.int32, (32 * PB, 128), 0) // PB
-        lane32 = jax.lax.broadcasted_iota(jnp.int32, (32 * PB, 128), 1)
-        stv = jnp.concatenate(
-            [scal_vec(stype, C0RUN, jnp.int32)] * 32, axis=0)
-        win32 = jnp.concatenate([win] * 32, axis=0)
-        newrow = jnp.where(lane32 < W, win32,
-                           jnp.where(lane32 == 127, stv, -1))
+        # ---- provenance: ONE bit-packed int32 per pair per step ----
+        # layout: bits 0-1 step type; bits 2+6w: winner w's slot + 1
+        # (0 = none), slots fit 6 bits. Accumulated in VMEM scratch
+        # [PB, 128] and flushed to the HBM (ANY) output with one async DMA
+        # per 128 steps. Two measured constraints shape this:
+        #  - outputs must not be revolving VMEM windows (Mosaic round-trips
+        #    every windowed output block through HBM on every step of an
+        #    "arbitrary" grid — ~66us/step for a (32*PB,128) block,
+        #    ~10us/step for each (8,128) one);
+        #  - the packed form keeps the whole provenance stream at
+        #    N*PB*4 bytes (1.7 MB for a full read pair batch) instead of
+        #    128x that — the fat layout's device->host fetch took longer
+        #    than the kernel itself.
+        packed = scal_vec(stype, C0RUN, jnp.int32)
+        for w in range(W):
+            wv = jnp.sum(jnp.where(lane == w, win, 0), axis=1, keepdims=True)
+            packed = packed | ((wv + 1) << (2 + 6 * w))
         if "prov" not in SKIP:
-            prov_ref[:, :] = jnp.where(prow32 == i % 32, newrow,
-                                       prov_ref[:, :])
+            pv_s[:, :] = jnp.where(lane == i % 128, packed, pv_s[:, :])
+
+        @pl.when((i % 128 == 127) | (i == NTOT - 1))
+        def _flush_prov():
+            cp = pltpu.make_async_copy(
+                pv_s,
+                prov_ref.at[pl.ds((i // 128) * PB, PB), :],
+                dma_sem.at[1],
+            )
+            cp.start()
+            cp.wait()
 
         @pl.when(i == NTOT - 1)
         def _fin():
-            sco_ref[:, :] = SCO[:, :]
-            val_ref[:, :] = jnp.where(VAL[:, :] > 0, 1, 0)
+            for j, (src, dst) in enumerate(((SCO, sco_ref), (VAL, val_ref))):
+                cp = pltpu.make_async_copy(src, dst, dma_sem.at[2 + j])
+                cp.start()
+                cp.wait()
 
     return kernel, C, CP, PB, BC, S0, S1
 
@@ -687,10 +705,12 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
+        # outputs live in HBM and are filled by explicit async DMAs from
+        # VMEM scratch — see the provenance comment in the kernel
         out_specs=[
-            pl.BlockSpec((32 * PB, 128), lambda o: ((o * K) // 32, 0)),
-            pl.BlockSpec((PB, 128), lambda i: (0, 0)),
-            pl.BlockSpec((PB, 128), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((BC, S0), jnp.float32),   # st0
@@ -716,16 +736,16 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((BC, max(S0, S1)), jnp.float32),  # tmp
             pltpu.VMEM((128, PB), jnp.float32),  # bridge
             pltpu.SMEM((8 * B, 128), jnp.int32),  # plan_s
-            pltpu.SemaphoreType.DMA,              # plan_sem
+            pltpu.VMEM((PB, 128), jnp.int32),     # pv_s (packed prov accum)
+            pltpu.SemaphoreType.DMA((4,)),        # dma_sem
         ],
     )
     prov, sco, valid = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((((N + 31) // 32) * 32 * PB, 128),
-                                 jnp.int32),
+            jax.ShapeDtypeStruct((((N + 127) // 128) * PB, 128), jnp.int32),
             jax.ShapeDtypeStruct((PB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((PB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((PB, 128), jnp.float32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -736,21 +756,22 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
     return prov, sco, valid
 
 
-def _traceback(prov_b: np.ndarray, sco: np.ndarray, valid: np.ndarray,
+def _traceback(words: np.ndarray, sco: np.ndarray, valid: np.ndarray,
                n_steps: int, W: int, A: int, alphabet: str) -> str:
-    """prov_b [N, 128] for one pair: lanes 0..W-1 winner slots, 127 stype."""
+    """words [N] bit-packed provenance for one pair: bits 0-1 step type,
+    bits 2+6w winner w's slot + 1 (0 = none)."""
     C = W * (A + 1)
     scores = np.where(valid[:C] > 0, sco[:C], -np.inf)
     j = int(np.argmax(scores))
     chars = []
     for t in range(n_steps - 1, -1, -1):
-        if prov_b[t, 127] != MAIN:
+        word = int(words[t])
+        if (word & 3) != MAIN:
             continue
-        winners = prov_b[t, :W]
         if j >= W:
             chars.append((j - W) % A)
             j = (j - W) // A
-        j = int(winners[j])
+        j = ((word >> (2 + 6 * j)) & 63) - 1
         if j < 0:
             break
     if j >= 0:
@@ -767,7 +788,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
     pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
     plans are padded to the longest with zero-width catch-runs.
     """
-    from .beam2d_planned import plan_walk, transpose_envelope
+    from .beam2d_planned import build_plan
 
     B = len(pairs)
     A = len(alphabet)
@@ -783,8 +804,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         if envelope is None:
             envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
         env = np.asarray(envelope, dtype=np.int64)[:U]
-        env_t = transpose_envelope(env, U, V)
-        plans.append(plan_walk(env, env_t, U, V))
+        plans.append(build_plan(env, U, V))
         ys.append((y1, y2))
 
     N = max(len(p["type"]) for p in plans)
@@ -830,11 +850,14 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat),
         B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid)
     PB = max(B, 8)
-    prov = np.asarray(prov).reshape(N_pad, PB, 128)
+    # [n_blocks, PB, 128] packed words; pair b's step i word sits at
+    # block i//128, row b, lane i%128
+    prov = np.asarray(prov).reshape(-1, PB, 128)
     sco = np.asarray(sco)
     valid = np.asarray(valid)
     out = []
     for b in range(B):
-        out.append(_traceback(prov[:, b, :], sco[b], valid[b],
+        words = prov[:, b, :].reshape(-1)
+        out.append(_traceback(words, sco[b], valid[b],
                               len(plans[b]["type"]), W, A, alphabet))
     return out

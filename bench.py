@@ -93,22 +93,30 @@ def bench_viterbi():
     y = m.log_prob.astype(np.float32)
     T = len(y)
 
-    yb = y[None]
-    _ = np.asarray(argmax_path_batch(yb))  # warm (compile)
+    # single-read latency AND saturated throughput (B=32 wave): a lone
+    # argmax is dispatch-latency-bound on any accelerator; reads/s/chip is
+    # the metric BASELINE.md names
+    yb1 = y[None]
+    _ = np.asarray(argmax_path_batch(yb1))  # warm (compile)
+    lat = _best_of(lambda: np.asarray(argmax_path_batch(yb1)))
+    B = 32
+    yb = np.broadcast_to(y, (B, T, y.shape[1])).copy()
+    _ = np.asarray(argmax_path_batch(yb))
     tpu = _best_of(lambda: np.asarray(argmax_path_batch(yb)))
 
     # single-core numpy baseline — the reference's decode path
     # (transducer.py:72-73: per-step argmax + gap collapse, numpy)
-    cpu = _best_of(lambda: np.argmax(y, axis=1))
+    cpu = _best_of(lambda: [np.argmax(y, axis=1) for _ in range(B)], n=2)
 
     RESULTS["viterbi"] = dict(
-        reads_per_s=round(1.0 / tpu, 3),
-        bases_per_s=round(T / tpu, 1),
+        reads_per_s=round(B / tpu, 3),
+        bases_per_s=round(B * T / tpu, 1),
+        single_read_latency_s=round(lat, 5),
         tpu_s=round(tpu, 5), cpu_s=round(cpu, 5),
         vs_baseline=round(cpu / tpu, 3),
     )
-    log(f"viterbi: T={T} tpu={tpu*1e3:.2f}ms cpu={cpu*1e3:.2f}ms "
-        f"({cpu/tpu:.2f}x)")
+    log(f"viterbi: T={T} batch{B} tpu={tpu*1e3:.2f}ms cpu={cpu*1e3:.2f}ms "
+        f"({cpu/tpu:.2f}x); single-read latency {lat*1e3:.1f}ms")
 
 
 # --------------------------------------------------------------------------
@@ -128,14 +136,28 @@ def bench_beam():
     seqs = beam_search_batch(ys, beam_width=25)  # warm
     tpu = _best_of(lambda: beam_search_batch(ys, beam_width=25), n=2)
 
+    # single-core CPU baseline: fresh C++ trie beam, the reference's
+    # algorithm class (BeamSearch.h:18-58; native/beam1d_cpu.cpp)
+    from poreover_tpu import native
+
+    t0 = time.perf_counter()
+    seqs_cpu = [native.beam_search_1d_cpu(y, beam_width=25) for y in ys]
+    cpu = time.perf_counter() - t0
+    idents = []
+    for a, b in zip(seqs, seqs_cpu):
+        x, z = native.global_pair_banded(a, b)
+        idents.append(sum(c == d for c, d in zip(x, z)) / max(len(x), 1))
+
     RESULTS["beam"] = dict(
         reads_per_s=round(len(ys) / tpu, 3),
         bases_per_s=round(total_T / tpu, 1),
-        tpu_s=round(tpu, 3),
+        tpu_s=round(tpu, 3), cpu_s=round(cpu, 3),
+        vs_baseline=round(cpu / tpu, 3),
         seq_lens=[len(s) for s in seqs],
+        min_cpu_identity=round(min(idents), 5),
     )
-    log(f"beam25: {len(ys)} reads T={total_T} tpu={tpu:.2f}s "
-        f"({len(ys)/tpu:.2f} reads/s)")
+    log(f"beam25: {len(ys)} reads T={total_T} tpu={tpu:.2f}s cpu={cpu:.2f}s "
+        f"({cpu/tpu:.2f}x, min_ident={min(idents):.4f})")
 
 
 # --------------------------------------------------------------------------

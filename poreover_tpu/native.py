@@ -88,6 +88,11 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
         ndpointer(_np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.beam_search_1d_cpu.restype = ctypes.c_int
+    lib.beam_search_1d_cpu.argtypes = [
+        ndpointer(_np.float64, flags="C_CONTIGUOUS"), ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p,
+    ]
     lib.plan_walk_native.restype = ctypes.c_int
     lib.plan_walk_native.argtypes = [
         ndpointer(_np.int64, flags="C_CONTIGUOUS"), ctypes.c_int,
@@ -96,6 +101,21 @@ def load():
     ]
     _lib = lib
     return _lib
+
+
+def beam_search_1d_cpu(y, beam_width: int = 25) -> str:
+    """Single-core CPU 1D CTC beam search (trie + hashmaps) — the measured
+    baseline stand-in for the reference's cpp_beam_search
+    (BeamSearch.h:18-58)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    out = ctypes.create_string_buffer(len(y) + 1)
+    n = lib.beam_search_1d_cpu(y, len(y), beam_width, out)
+    return out.value[:n].decode()
 
 
 def plan_walk_native(env, U: int, V: int):

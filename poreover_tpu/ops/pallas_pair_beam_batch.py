@@ -555,22 +555,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                     cg = cg + jnp.where(liC >= sh, pltpu.roll(cg, sh, 1), 0.0)
                     sh *= 2
 
-                m = jnp.full((BC, CH), _NEG, jnp.float32)
                 sd = seeds[:, :]
-                for _l in range(LAYERS):
-                    if _l == 0:
-                        # layer-0 m is the _NEG splat, so the gather result
-                        # is known: rows with a parent (a one-hot hit) give
-                        # _NEG, rows without give 0. Computing it directly
-                        # both saves a matmul and avoids slicing a splat
-                        # constant at sublane offset >= 128, which crashes
-                        # the TPU compiler ("limits[i] <= dim(i)" CHECK in
-                        # xla::Array) when BC > 128 (batch > 4).
-                        par = jnp.broadcast_to(
-                            jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH))
-                    else:
-                        par = _gather(ohG, _split3(m), BC)
-                    pseed = _gather_f32(ohG, sd, BC)
+                pseed = _gather_f32(ohG, sd, BC)  # layer-invariant
+
+                def layer(par):
                     parsh = pltpu.roll(par, 1, 1)
                     parsh = jnp.where(liC == 0, pseed, parsh)
                     parsh = jnp.where(t_abs == lo_r, pseed, parsh)
@@ -585,7 +573,24 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                         run = jnp.logaddexp(run, prev)
                         sh *= 2
                     pfull = cg + jnp.logaddexp(run, sd)
-                    m = jnp.where(in_m > 0, pfull, _NEG)
+                    return jnp.where(in_m > 0, pfull, _NEG)
+
+                # iteration 0: the input m is the _NEG splat, so the gather
+                # result is known analytically: rows with a parent (a
+                # one-hot hit) give _NEG, rows without give 0. Computing it
+                # directly saves a matmul and avoids slicing a splat
+                # constant at sublane offset >= 128, which crashes the TPU
+                # compiler ("limits[i] <= dim(i)" CHECK) when BC > 128.
+                m = layer(jnp.broadcast_to(
+                    jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH)))
+
+                # remaining layers: trip count = the step's actual max
+                # parent-chain depth (usually 1-2) instead of the static
+                # W+1 — a depth-d row is correct after iteration d-1
+                def layer_body(_l, mm):
+                    return layer(_gather(ohG, _split3(mm), BC))
+
+                m = jax.lax.fori_loop(1, n_layers, layer_body, m)
 
                 merged = jnp.where(in_m > 0, m, old)
                 for b in range(B):
@@ -613,6 +618,29 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
             pp = _gather(ohG2, _split3(st[:, :]), BC)
             ps[:, :] = jnp.where(psmask_r > 0, pp, ps[:, :])
+
+        # ---- dynamic layer count, shared by both axis sweeps ----
+        # parent-chain depth per row via iteration over the sweep's own
+        # parent one-hot (values <= W+1 are exact in bf16); the sweeps then
+        # run exactly max-depth layer iterations instead of the static W+1
+        # (typical steps have depth 1-2 chains).
+        def _gather_small(oh_ref, x):
+            G = 128
+            outs = []
+            for g0 in range(0, BC, G):
+                g1 = min(g0 + G, BC)
+                outs.append(_dotb(
+                    oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16),
+                    x[g0:g1].astype(jnp.bfloat16)))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        dvec = jnp.ones((BC, 1), jnp.float32)
+        for _ in range(LAYERS - 1):
+            pd = _gather_small(ohG, dvec)
+            dvec = jnp.where(pswept_r > 0, 1.0 + pd, 1.0)
+        dvec = jnp.where(sw_r > 0, dvec, 0.0)
+        n_layers = jnp.minimum(
+            jnp.max(dvec).astype(jnp.int32), LAYERS)
 
         sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0)
         mx0s[:, :] = mx[:, :]

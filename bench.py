@@ -374,12 +374,68 @@ def bench_call():
         f"({samples/hot/1e3:.1f}k samples/s)")
 
 
+def bench_train():
+    """CTC train-step throughput, conv1_bigru3 (the reference trains this
+    with tf.compat.v1.nn.ctc_loss, network.py:78-129; data/training.npz is
+    not bundled, so a deterministic synthetic set stands in — the compute
+    shape is identical: [64, 1000, 1] windows, ~50-label targets)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from poreover_tpu.network.model import build_model, init_params
+    from poreover_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(0)
+    B, T, L = 64, 1000, 50
+    X = jnp.asarray(rng.normal(size=(B, T, 1)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, size=(B, L)), jnp.int32)
+    ylen = jnp.full((B,), L, jnp.int32)
+
+    model = build_model("conv1_bigru3")
+    params = init_params(model, jax.random.PRNGKey(0), window=T)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, X, y, ylen):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, X)
+            return jnp.mean(ctc_loss(logits, y, ylen))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, X, y, ylen)
+    float(loss)
+    warm = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, X, y, ylen)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    RESULTS["train"] = dict(
+        batch=B, window=T,
+        steps_per_s=round(1.0 / best, 3),
+        samples_per_s=round(B * T / best, 1),
+        tpu_s=round(best, 4), warm_s=round(warm, 2),
+        loss=round(float(loss), 4),
+    )
+    log(f"train: conv1_bigru3 B={B} T={T} {best*1e3:.1f}ms/step "
+        f"({B*T/best/1e3:.0f}k samples/s) loss={float(loss):.3f}")
+
+
 def main() -> None:
     for name, fn in [
         ("viterbi", bench_viterbi),
         ("beam", bench_beam),
         ("flipflop", bench_flipflop),
         ("call", bench_call),
+        ("train", bench_train),
         ("pair", bench_pair),
     ]:
         try:

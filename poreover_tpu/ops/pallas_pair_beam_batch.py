@@ -128,7 +128,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                so_s, ohP, ohFro, ohG, ohG2,
                seeds, mx0s, mx, tmp,
-               plan_s, pv_s, dma_sem):
+               plan_s, pv_s, dma_sem, hiw_s):
         for _k in range(K):
             _step_body(pl.program_id(0) * K + _k,
                        y1_ref, y2_ref, plan_ref,
@@ -137,7 +137,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                        K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                        so_s, ohP, ohFro, ohG, ohG2,
                        seeds, mx0s, mx, tmp,
-                       plan_s, pv_s, dma_sem)
+                       plan_s, pv_s, dma_sem, hiw_s)
 
     def _step_body(i, y1_ref, y2_ref, plan_ref,
                    prov_ref, sco_ref, val_ref,
@@ -145,7 +145,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                    K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                    so_s, ohP, ohFro, ohG, ohG2,
                    seeds, mx0s, mx, tmp,
-                   plan_s, pv_s, dma_sem):
+                   plan_s, pv_s, dma_sem, hiw_s):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
         prow = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 0)
@@ -180,6 +180,8 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         ahi = [plan_s[8 * b + 2, pcol] for b in range(B)]
         blo = [plan_s[8 * b + 3, pcol] for b in range(B)]
         bhi = [plan_s[8 * b + 4, pcol] for b in range(B)]
+        pso0 = [plan_s[8 * b + 5, pcol] for b in range(B)]
+        pso1 = [plan_s[8 * b + 6, pcol] for b in range(B)]
 
         def scal_vec(scalars, default, dtype=jnp.float32):
             v = jnp.full((PB, LN), default, dtype)
@@ -199,6 +201,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         def _init():
             for b in range(2 * B):
                 so_s[b] = -128
+                hiw_s[b] = 2 * CH  # t=0 init writes land at lane 128
             st0[:, :] = jnp.full((BC, S0), _NEG, jnp.float32)
             ps0[:, :] = jnp.full((BC, S0), _NEG, jnp.float32)
             st1[:, :] = jnp.full((BC, S1), _NEG, jnp.float32)
@@ -416,33 +419,63 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                                1.0, 0.0)
 
         # ---- storage permute (identity rows for run pairs) ----
-        def permute(st, ps, S):
-            st_t = _split3(st[:, pl.ds(0, S)])
-            ps_t = _split3(ps[:, pl.ds(0, S)])
-            tmp[:, pl.ds(0, S)] = _gather(ohP, st_t, BC)
+        def _permute_span(st, ps, SP):
+            st_t = _split3(st[:, pl.ds(0, SP)])
+            ps_t = _split3(ps[:, pl.ds(0, SP)])
+            tmp[:, pl.ds(0, SP)] = _gather(ohP, st_t, BC)
             fr_beam = _gather(ohP, ps_t, BC)
             fr_child = _gather(ohFro, st_t, BC)
             is_child_r = (is_main_r > 0) & (rslot >= W) & (rslot < C)
             newfr = jnp.where(is_child_r, fr_child, fr_beam)
-            st[:, pl.ds(0, S)] = jnp.where(src_r >= 0, tmp[:, pl.ds(0, S)],
-                                           _NEG)
-            ps[:, pl.ds(0, S)] = jnp.where(val_r > 0, newfr, _NEG)
+            st[:, pl.ds(0, SP)] = jnp.where(
+                src_r >= 0, tmp[:, pl.ds(0, SP)], _NEG)
+            ps[:, pl.ds(0, SP)] = jnp.where(val_r > 0, newfr, _NEG)
 
-        permute(st0, ps0, S0)
-        permute(st1, ps1, S1)
+        def _span_of(so_base):
+            spn = hiw_s[so_base]
+            for b in range(1, B):
+                spn = jnp.maximum(spn, hiw_s[so_base + b])
+            return spn
+
+        def _span_buckets(S):
+            return sorted({min(512, S), min(1024, S), S})
+
+        def permute(st, ps, S, span):
+            # span-restricted: lanes >= the live span are -inf in every
+            # row (writes never reached them), and a full-width permute
+            # would reproduce -inf there (gather of -inf / fresh-row
+            # splat), so gathering only the live span is bit-exact while
+            # the tight plan anchors keep that span short.
+            bks = _span_buckets(S)
+            for bi, SP in enumerate(bks):
+                pred = span <= SP
+                if bi > 0:
+                    pred = pred & (span > bks[bi - 1])
+
+                @pl.when(pred)
+                def _p(SP=SP):
+                    _permute_span(st, ps, SP)
+
+        permute(st0, ps0, S0, _span_of(0))
+        permute(st1, ps1, S1, _span_of(B))
 
         # ==================================================================
         # windowed sweeps (per-pair windows; zero width = exact no-op)
         # ==================================================================
         liC = jax.lax.broadcasted_iota(jnp.int32, (BC, CH), 1)
 
-        def sweep_axis(st, ps, y_ref, los, his, WF, S, L, so_base):
+        def sweep_axis(st, ps, y_ref, los, his, WF, S, L, so_base,
+                       plan_so):
             new_so = []
             for b in range(B):
                 so_b = so_s[so_base + b]
                 need = his[b] - WF
                 cand = ((need + 127) // 128) * 128
-                ns = pl.multiple_of(jnp.maximum(so_b, cand), 128)
+                # tight anchor: the plan's suffix-min proof says nothing at
+                # or after this step reads below plan_so[b] — evicting up
+                # to it keeps the live span short (see driver rows 5/6)
+                ns = pl.multiple_of(
+                    jnp.maximum(jnp.maximum(so_b, cand), plan_so[b]), 128)
                 d = pl.multiple_of(ns - so_b, 128)
 
                 @pl.when(d != 0)
@@ -468,6 +501,15 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
                 so_s[so_base + b] = ns
                 new_so.append(ns)
+                # live-span tracking (aligned-up exclusive end of written
+                # lanes) for the span-restricted permute/refresh gathers
+                hw = jnp.maximum(hiw_s[so_base + b] - d, 0)
+                wid = his[b] - los[b]
+                hiw_s[so_base + b] = jnp.where(
+                    wid > 0,
+                    jnp.maximum(
+                        hw, ((his[b] - ns + 127) // 128) * 128 + CH),
+                    hw)
 
             ac0 = [pl.multiple_of((los[b] // 128) * 128, 128)
                    for b in range(B)]
@@ -616,8 +658,19 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
             jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
-            pp = _gather(ohG2, _split3(st[:, :]), BC)
-            ps[:, :] = jnp.where(psmask_r > 0, pp, ps[:, :])
+            # frozen-copy refresh, span-restricted like the permutes
+            spn = _span_of(so_base)
+            bks = _span_buckets(S)
+            for bi, SP in enumerate(bks):
+                pred = spn <= SP
+                if bi > 0:
+                    pred = pred & (spn > bks[bi - 1])
+
+                @pl.when(pred)
+                def _rf(SP=SP):
+                    pp = _gather(ohG2, _split3(st[:, pl.ds(0, SP)]), BC)
+                    ps[:, pl.ds(0, SP)] = jnp.where(
+                        psmask_r > 0, pp, ps[:, pl.ds(0, SP)])
 
         # ---- dynamic layer count, shared by both axis sweeps ----
         # parent-chain depth per row via iteration over the sweep's own
@@ -642,9 +695,9 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         n_layers = jnp.minimum(
             jnp.max(dvec).astype(jnp.int32), LAYERS)
 
-        sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0)
+        sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0, pso0)
         mx0s[:, :] = mx[:, :]
-        sweep_axis(st1, ps1, y2_ref, blo, bhi, WF1, S1, L2, B)
+        sweep_axis(st1, ps1, y2_ref, blo, bhi, WF1, S1, L2, B, pso1)
 
         # ---- scores: rows -> lanes bridge via transpose ----
         tot_r = mx0s[:, :] + mx[:, :]  # [BC, 1]
@@ -765,6 +818,7 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.SMEM((8 * B, 128), jnp.int32),  # plan_s
             pltpu.VMEM((PB, 128), jnp.int32),     # pv_s (packed prov accum)
             pltpu.SemaphoreType.DMA((4,)),        # dma_sem
+            pltpu.SMEM((2 * B,), jnp.int32),      # hiw_s (live spans)
         ],
     )
     prov, sco, valid = pl.pallas_call(
@@ -871,6 +925,28 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         plan_mat[8 * b + 2, :n] = p["a_hi"]
         plan_mat[8 * b + 3, :n] = p["b_lo"]
         plan_mat[8 * b + 4, :n] = p["b_hi"]
+        # rows 5/6: tight eviction anchors — the 128-aligned suffix-min of
+        # (window lo - 1) per axis. No step at or after t ever reads a
+        # storage lane below it (sweep fro/seed reads start at lo-1, chunk
+        # origins at align_down(lo)), so the kernel may evict up to here
+        # early; that keeps the live storage span (and the per-step
+        # permute/refresh gathers over it) short instead of ~Wst wide.
+        # Outputs are bit-identical: evicted-early lanes are provably
+        # never read. Zero-width steps don't sweep, so they don't
+        # constrain; steps with no future sweep on an axis anchor to the
+        # end of the read (history dead).
+        U_b, V_b = int(p["a_hi"].max()), int(p["b_hi"].max())
+        sw0 = (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"])
+        sw1 = (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"])
+        lo0 = np.where(sw0, p["a_lo"], U_b + 1).astype(np.int64)
+        lo1 = np.where(sw1, p["b_lo"], V_b + 1).astype(np.int64)
+        sm0 = np.minimum.accumulate((lo0 - 1)[::-1])[::-1]
+        sm1 = np.minimum.accumulate((lo1 - 1)[::-1])[::-1]
+        plan_mat[8 * b + 5, :n] = (sm0 // 128 * 128).astype(np.int32)
+        plan_mat[8 * b + 6, :n] = (sm1 // 128 * 128).astype(np.int32)
+        if n < N_pad:
+            plan_mat[8 * b + 5, n:N_pad] = plan_mat[8 * b + 5, n - 1]
+            plan_mat[8 * b + 6, n:N_pad] = plan_mat[8 * b + 6, n - 1]
     plan_mat = plan_mat[:, :N_pad]
 
     prov, sco, valid = _run_kernel(

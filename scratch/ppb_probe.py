@@ -13,8 +13,8 @@ Key differences from the single-pair kernel:
   "lane layout" planes [PB, 128] (pair = sublane, slot = lane); winner
   selection / dedup / key extension / parent lookups are lane-parallel VPU
   ops with per-pair row reductions — no unrolled scalar loops.
-- lane->row bridges use the Mosaic sublane/lane transpose plus static
-  per-pair block copies.
+- lane->row bridges are in-block broadcasts + masked lane-reduces
+  (exact for int32); key-match scans are min-reduces over the lane axis.
 - storage permutes and parent gathers are block-diagonal one-hot matmuls
   at HIGHEST precision (default TPU dot truncates inputs to bf16).
 - non-MAIN pairs get identity permutation rows: every step executes one
@@ -39,7 +39,6 @@ import numpy as np
 
 _NEG = np.float32(-1e30)
 SKIP = set(filter(None, os.environ.get("PPB_SKIP", "").split(",")))
-LAYERS_OVERRIDE = int(os.environ.get("PPB_LAYERS", "0"))
 
 MAIN, C0RUN, C1RUN = 0, 1, 2
 
@@ -118,7 +117,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
     assert C <= CP
     PB = max(B, 8)
     BC = B * CP
-    LAYERS = LAYERS_OVERRIDE or (W + 1)
+    LAYERS = W + 1
     S0 = ((Wst0 + 3 * CH + 127) // 128) * 128
     S1 = ((Wst1 + 3 * CH + 127) // 128) * 128
     WF0 = S0 - CH
@@ -130,7 +129,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                st0, ps0, st1, ps1,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                so_s, ohP, ohFro, ohG, ohG2,
-               seeds, mx0s, mx, tmp, bridge,
+               seeds, mx0s, mx, tmp,
                plan_s, pv_s, dma_sem):
         for _k in range(K):
             _step_body(pl.program_id(0) * K + _k,
@@ -139,7 +138,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                        st0, ps0, st1, ps1,
                        K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                        so_s, ohP, ohFro, ohG, ohG2,
-                       seeds, mx0s, mx, tmp, bridge,
+                       seeds, mx0s, mx, tmp,
                        plan_s, pv_s, dma_sem)
 
     def _step_body(i, y1_ref, y2_ref, plan_ref,
@@ -147,7 +146,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                    st0, ps0, st1, ps1,
                    K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                    so_s, ohP, ohFro, ohG, ohG2,
-                   seeds, mx0s, mx, tmp, bridge,
+                   seeds, mx0s, mx, tmp,
                    plan_s, pv_s, dma_sem):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
@@ -303,7 +302,6 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         pw_ch = from_w(wch)
         pw_pch = from_w(wpch)
         pw_ok = from_w(wokv) > 0
-        pw_src = from_w(jnp.maximum(win, 0))
 
         ck1 = pw_k1 * _M1 + (cofj + 1)
         ck2 = pw_k2 * _M2 + (cofj + 1)
@@ -315,22 +313,6 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         nch = jnp.where(is_stay, pw_ch, jnp.where(is_child, cofj, 0))
         npch = jnp.where(is_stay, pw_pch, jnp.where(is_child, pw_ch, -1))
         nval = jnp.where((is_stay | is_child) & pw_ok & in_batch, 1.0, 0.0)
-
-        # stale-row source: stay lanes <- winner slot; child lanes <- first
-        # OLD slot holding the child key (if any)
-        old_hit = jnp.full((PB, LN), -1, jnp.int32)
-        for t in range([0, C]["oldhit" not in SKIP]):
-            lt = lane == t
-            kt1 = jnp.sum(jnp.where(lt, k1, 0), axis=1, keepdims=True)
-            kt2 = jnp.sum(jnp.where(lt, k2, 0), axis=1, keepdims=True)
-            vt = jnp.sum(jnp.where(lt, val, 0.0), axis=1, keepdims=True)
-            hit = (nk1 == kt1) & (nk2 == kt2) & (vt > 0) & (old_hit < 0)
-            old_hit = jnp.where(hit, t, old_hit)
-        src_main = jnp.where(is_stay, pw_src, jnp.maximum(old_hit, 0))
-        pw_ok_f = jnp.where(pw_ok, 1.0, 0.0)
-        oldhit_f = jnp.where(old_hit >= 0, 1.0, 0.0)
-        hsm_f = jnp.where(is_stay, pw_ok_f, oldhit_f * pw_ok_f)
-        has_src_main = (hsm_f > 0) & (nval > 0)
 
         im = is_main > 0
         fk1 = jnp.where(im, nk1, k1)
@@ -348,55 +330,81 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         PCH[:, :] = fpch
         VAL[:, :] = fval
 
-        src = jnp.where(im, jnp.where(has_src_main, src_main, -1), lane)
-        fro_src = jnp.where(im & is_child & pw_ok, pw_src, -1)
         swept_f = jnp.where(im, fval, wmatch * jnp.where(val > 0, 1.0, 0.0))
         swept = swept_f > 0
 
-        # parent slot among swept lanes (sweep gather) / valid lanes (refresh)
-        is_root_par = (fpk1 == 0) & (fpk2 == 0)
-        par_slot = jnp.full((PB, LN), -1, jnp.int32)
-        par_slot2 = jnp.full((PB, LN), -1, jnp.int32)
-        for t in range([0, C]["parslot" not in SKIP]):
-            lt = lane == t
-            kt1 = jnp.sum(jnp.where(lt, fk1, 0), axis=1, keepdims=True)
-            kt2 = jnp.sum(jnp.where(lt, fk2, 0), axis=1, keepdims=True)
-            sw_t = jnp.max(jnp.where(lt & swept, 1.0, 0.0), axis=1,
-                           keepdims=True) > 0
-            vv_t = jnp.sum(jnp.where(lt, fval, 0.0), axis=1, keepdims=True)
-            keq = (fpk1 == kt1) & (fpk2 == kt2)
-            par_slot = jnp.where(keq & sw_t & (par_slot < 0), t, par_slot)
-            par_slot2 = jnp.where(keq & (vv_t > 0) & (par_slot2 < 0), t,
-                                  par_slot2)
-        par_slot = jnp.where(is_root_par, -1, par_slot)
-        par_slot2 = jnp.where(is_root_par, -1, par_slot2)
+        # ---- row-space bookkeeping via in-block broadcast + masked
+        # reduce. rep_rows/to_rows replace both the transpose-based
+        # lane->row bridge and the unrolled 25-iteration key-match loops
+        # (together ~19us/step at B=8): every lane-layout quantity reaches
+        # row layout with one [BC,LN] where+reduce, exact for int32, and
+        # first-match scans become min-reduces over the lane axis. ----
+        laneB = jax.lax.broadcasted_iota(jnp.int32, (BC, LN), 1)
+        BIGL = jnp.int32(LN + 1)
+        _rows_skip = "rows" in SKIP
 
-        # ---- lane->row bridge (transpose + static block copies) ----
-        bi = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
+        def rep_rows(x):
+            # [PB,LN] -> [BC,LN]: pair b's lane vector broadcast to its
+            # CP-row block (jnp.repeat: the broadcast_to+reshape spelling
+            # hits an unsupported Mosaic gather at B=1)
+            return jnp.repeat(x[:B], CP, axis=0)
 
-        def lane_to_rows(x):
-            if "bridge" in SKIP:
-                return jnp.zeros((BC, 1), jnp.float32)
-            bridge[:, :] = jnp.transpose(x.astype(jnp.float32))  # [LN, PB]
-            bv = bridge[:, :]
-            # masked lane-reduce per pair: forces a uniform lane-0 layout
-            # (slicing different lanes then concatenating trips Mosaic's
-            # "offset mismatch on non-concat dimension")
-            cols = [
-                jnp.sum(jnp.where(bi == b, bv, 0.0), axis=1,
-                        keepdims=True)[0:CP, :]
-                for b in range(B)
-            ]
-            return jnp.concatenate(cols, axis=0)  # [BC, 1]
+        def to_rows(x, default=0):
+            # [PB,LN] lane layout -> [BC,1] row layout (row r reads its own
+            # slot's lane)
+            return jnp.sum(
+                jnp.where(laneB == rslot, rep_rows(x), default),
+                axis=1, keepdims=True)
 
-        src_r = lane_to_rows(src)
-        fro_src_r = lane_to_rows(fro_src)
-        val_r = lane_to_rows(fval)
-        sw_r = lane_to_rows(jnp.where(swept, 1.0, 0.0))
-        ch_r = lane_to_rows(fch)
-        root_r = lane_to_rows(jnp.where(is_root_par, 1.0, 0.0))
-        par_r = lane_to_rows(par_slot)
-        par2_r = lane_to_rows(par_slot2)
+        im_r = is_main_r > 0
+        stay_r = rslot < W
+        child_r = (rslot >= W) & (rslot < C)
+        wofj_r = jnp.where(child_r, (rslot - W) // A, rslot)
+        pw_src_r = jnp.sum(
+            jnp.where(laneB == wofj_r, jnp.maximum(rep_rows(win), 0), 0),
+            axis=1, keepdims=True)
+        # 0/1 int masks throughout: Mosaic cannot lower selects between
+        # i1-valued vectors (arith.trunci i8->i1)
+        pw_ok_r = jnp.sum(
+            jnp.where(laneB == wofj_r, rep_rows(wokv), 0),
+            axis=1, keepdims=True)  # int32 0/1
+
+        # stale-row source: stay rows <- winner slot; child rows <- first
+        # OLD slot holding the child key (if any)
+        m_old = ((rep_rows(k1) == to_rows(nk1))
+                 & (rep_rows(k2) == to_rows(nk2))
+                 & (rep_rows(val) > 0))
+        old_hit_r = jnp.min(jnp.where(m_old, laneB, BIGL), axis=1,
+                            keepdims=True)
+        oldhit_ok_i = jnp.where(old_hit_r < BIGL, 1, 0)
+        nval_i = jnp.where(stay_r | child_r, pw_ok_r, 0)
+        hsm_i = jnp.where(stay_r, pw_ok_r, oldhit_ok_i * pw_ok_r)
+        src_main_r = jnp.where(
+            stay_r, pw_src_r, jnp.minimum(old_hit_r, BIGL - 2))
+        src_r = jnp.where(
+            im_r, jnp.where((hsm_i > 0) & (nval_i > 0), src_main_r, -1),
+            rslot)
+        fro_src_r = jnp.where(im_r & child_r & (pw_ok_r > 0), pw_src_r, -1)
+
+        # parent slot among swept lanes (sweep gather) / valid lanes
+        # (frozen refresh): first lane with the parent's key
+        fpk1_r = to_rows(fpk1)
+        fpk2_r = to_rows(fpk2)
+        mk = (rep_rows(fk1) == fpk1_r) & (rep_rows(fk2) == fpk2_r)
+        sweptB = rep_rows(jnp.where(swept, 1, 0))
+        fvalB = rep_rows(jnp.where(fval > 0, 1, 0))
+        pr = jnp.min(jnp.where(mk & (sweptB > 0), laneB, BIGL), axis=1,
+                     keepdims=True)
+        pr2 = jnp.min(jnp.where(mk & (fvalB > 0), laneB, BIGL), axis=1,
+                      keepdims=True)
+        is_root_r = (fpk1_r == 0) & (fpk2_r == 0)
+        par_r = jnp.where((pr >= BIGL) | is_root_r, -1, pr)
+        par2_r = jnp.where((pr2 >= BIGL) | is_root_r, -1, pr2)
+
+        val_r = to_rows(jnp.where(fval > 0, 1, 0)).astype(jnp.float32)
+        sw_r = to_rows(jnp.where(swept, 1, 0)).astype(jnp.float32)
+        ch_r = to_rows(fch).astype(jnp.float32)
+        root_r = jnp.where(is_root_r, 1.0, 0.0)
         pswept_r = jnp.where(par_r >= 0, 1.0, 0.0)
         psmask_r = jnp.where(par2_r >= 0, 1.0, 0.0)
 
@@ -551,22 +559,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                     cg = cg + jnp.where(liC >= sh, pltpu.roll(cg, sh, 1), 0.0)
                     sh *= 2
 
-                m = jnp.full((BC, CH), _NEG, jnp.float32)
                 sd = seeds[:, :]
-                for _l in range(LAYERS):
-                    if _l == 0:
-                        # layer-0 m is the _NEG splat, so the gather result
-                        # is known: rows with a parent (a one-hot hit) give
-                        # _NEG, rows without give 0. Computing it directly
-                        # both saves a matmul and avoids slicing a splat
-                        # constant at sublane offset >= 128, which crashes
-                        # the TPU compiler ("limits[i] <= dim(i)" CHECK in
-                        # xla::Array) when BC > 128 (batch > 4).
-                        par = jnp.broadcast_to(
-                            jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH))
-                    else:
-                        par = _gather(ohG, _split3(m), BC)
-                    pseed = _gather_f32(ohG, sd, BC)
+                pseed = _gather_f32(ohG, sd, BC)  # layer-invariant
+
+                def layer(par):
                     parsh = pltpu.roll(par, 1, 1)
                     parsh = jnp.where(liC == 0, pseed, parsh)
                     parsh = jnp.where(t_abs == lo_r, pseed, parsh)
@@ -581,7 +577,24 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                         run = jnp.logaddexp(run, prev)
                         sh *= 2
                     pfull = cg + jnp.logaddexp(run, sd)
-                    m = jnp.where(in_m > 0, pfull, _NEG)
+                    return jnp.where(in_m > 0, pfull, _NEG)
+
+                # iteration 0: the input m is the _NEG splat, so the gather
+                # result is known analytically: rows with a parent (a
+                # one-hot hit) give _NEG, rows without give 0. Computing it
+                # directly saves a matmul and avoids slicing a splat
+                # constant at sublane offset >= 128, which crashes the TPU
+                # compiler ("limits[i] <= dim(i)" CHECK) when BC > 128.
+                m = layer(jnp.broadcast_to(
+                    jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH)))
+
+                # remaining layers: trip count = the step's actual max
+                # parent-chain depth (usually 1-2) instead of the static
+                # W+1 — a depth-d row is correct after iteration d-1
+                def layer_body(_l, mm):
+                    return layer(_gather(ohG, _split3(mm), BC))
+
+                m = jax.lax.fori_loop(1, n_layers, layer_body, m)
 
                 merged = jnp.where(in_m > 0, m, old)
                 for b in range(B):
@@ -611,6 +624,29 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             if "refresh" not in SKIP:
                 pp = _gather(ohG2, _split3(st[:, :]), BC)
                 ps[:, :] = jnp.where(psmask_r > 0, pp, ps[:, :])
+
+        # ---- dynamic layer count, shared by both axis sweeps ----
+        # parent-chain depth per row via iteration over the sweep's own
+        # parent one-hot (values <= W+1 are exact in bf16); the sweeps then
+        # run exactly max-depth layer iterations instead of the static W+1
+        # (typical steps have depth 1-2 chains).
+        def _gather_small(oh_ref, x):
+            G = 128
+            outs = []
+            for g0 in range(0, BC, G):
+                g1 = min(g0 + G, BC)
+                outs.append(_dotb(
+                    oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16),
+                    x[g0:g1].astype(jnp.bfloat16)))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        dvec = jnp.ones((BC, 1), jnp.float32)
+        for _ in range([0, LAYERS - 1]["depth" not in SKIP]):
+            pd = _gather_small(ohG, dvec)
+            dvec = jnp.where(pswept_r > 0, 1.0 + pd, 1.0)
+        dvec = jnp.where(sw_r > 0, dvec, 0.0)
+        n_layers = jnp.minimum(
+            jnp.max(dvec).astype(jnp.int32), LAYERS)
 
         if "sweeps" not in SKIP:
             sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0)
@@ -734,7 +770,6 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((BC, 1), jnp.float32),    # mx0s
             pltpu.VMEM((BC, 1), jnp.float32),    # mx
             pltpu.VMEM((BC, max(S0, S1)), jnp.float32),  # tmp
-            pltpu.VMEM((128, PB), jnp.float32),  # bridge
             pltpu.SMEM((8 * B, 128), jnp.int32),  # plan_s
             pltpu.VMEM((PB, 128), jnp.int32),     # pv_s (packed prov accum)
             pltpu.SemaphoreType.DMA((4,)),        # dma_sem

@@ -322,6 +322,47 @@ def bench_pair():
         idents.append(sum(c == d for c, d in zip(x, z)) / max(len(x), 1))
     reads_per_s = 2.0 * n_pairs / tpu_time
     vs = cpu_time / tpu_time
+
+    # ---- saturated throughput: the chip is latency-bound at B=5 (the
+    # kernel is a sequential plan-step grid whose per-step cost is far
+    # below the VPU/MXU roofline); reads/s/chip — the BASELINE.md
+    # north-star metric — is measured by replicating the same 5 pairs to
+    # a larger lockstep batch. Outputs are asserted identical to the
+    # unreplicated run, so the work per pair is unchanged.
+    sat = {}
+    if engine == "pallas_batch":
+        try:
+            from poreover_tpu.ops.pallas_pair_beam_batch import (
+                pair_beam_pallas_batch,
+            )
+            SAT_B = 20
+            reps = (SAT_B + n_pairs - 1) // n_pairs
+            wl_sat = (workloads * reps)[:SAT_B]
+            t0 = time.perf_counter()
+            out_sat = pair_beam_pallas_batch(wl_sat, beam_width=5)
+            warm = time.perf_counter() - t0
+            log(f"pair[sat B={SAT_B}]: warm (incl compile) {warm:.1f}s")
+            t0 = time.perf_counter()
+            out_sat = pair_beam_pallas_batch(wl_sat, beam_width=5)
+            sat_time = time.perf_counter() - t0
+            assert all(out_sat[i] == seqs_tpu[i % n_pairs]
+                       for i in range(SAT_B)), "replicated outputs diverge"
+            cpu_pairs_per_s = n_pairs / cpu_time
+            sat = dict(
+                sat_batch=SAT_B,
+                sat_s=round(sat_time, 3),
+                reads_per_s_sat=round(2.0 * SAT_B / sat_time, 3),
+                cells_per_s_sat=round(cells * reps / sat_time, 1),
+                vs_baseline_sat=round(
+                    (SAT_B / sat_time) / cpu_pairs_per_s, 3),
+            )
+            log(f"pair[sat]: B={SAT_B} {sat_time:.2f}s "
+                f"{sat['reads_per_s_sat']:.2f} reads/s "
+                f"({sat['vs_baseline_sat']:.1f}x single-core CPU)")
+        except Exception:
+            log("pair saturation measurement FAILED (non-fatal)")
+            traceback.print_exc(file=sys.stderr)
+
     RESULTS["pair"] = dict(
         engine=engine, n_pairs=n_pairs,
         reads_per_s=round(reads_per_s, 3),
@@ -332,6 +373,7 @@ def bench_pair():
         oracle_exact=f"{oracle_match}/{n_pairs}",
         trie_match=f"{n_match}/{n_pairs}",
         min_trie_identity=round(min(idents), 5),
+        **sat,
     )
     log(f"pair[{engine}]: {n_pairs} pairs tpu={tpu_time:.2f}s "
         f"cpu={cpu_time:.2f}s ({vs:.2f}x) "
@@ -451,11 +493,14 @@ def main() -> None:
     log(f"full results: {json.dumps(RESULTS)}")
 
     pair = RESULTS.get("pair", {})
+    # headline = reads/s/chip (BASELINE.md north-star): the saturated
+    # measurement when available, else the as-is pairs.txt batch
     print(json.dumps({
         "metric": "pair_decode_reads_per_s",
-        "value": pair.get("reads_per_s", 0.0),
+        "value": pair.get("reads_per_s_sat", pair.get("reads_per_s", 0.0)),
         "unit": "reads/s",
-        "vs_baseline": pair.get("vs_baseline", 0.0),
+        "vs_baseline": pair.get("vs_baseline_sat",
+                                pair.get("vs_baseline", 0.0)),
     }))
 
 

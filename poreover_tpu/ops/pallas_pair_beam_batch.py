@@ -80,16 +80,20 @@ def _gather(oh_ref, terms, BC: int):
     groups are multiplied — a full [BC,BC] dot costs (BC/128)^2 MXU tiles
     and made batch cost quadratic in B. Each selected product is exact in
     bf16 (one-hot times an exact bf16 term), and hi+mid+lo re-sums to the
-    exact f32 payload, so this is bit-identical to a HIGHEST f32 dot at 3
-    diagonal bf16 passes instead of 6 full-size ones."""
+    exact f32 payload, so this is bit-identical to a HIGHEST f32 dot. The
+    three terms ride ONE matmul with column-concatenated RHS — small MXU
+    ops are launch-overhead-bound, so one 3x-wide dot beats three."""
     hi, mid, lo = terms
+    SP = hi.shape[1]
     G = 128
     outs = []
     for g0 in range(0, BC, G):
         g1 = min(g0 + G, BC)
         ohg = oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16)
-        acc = (_dotb(ohg, hi[g0:g1]) + _dotb(ohg, mid[g0:g1])
-               + _dotb(ohg, lo[g0:g1]))
+        cat = jnp.concatenate(
+            [hi[g0:g1], mid[g0:g1], lo[g0:g1]], axis=1)
+        r = _dotb(ohg, cat)
+        acc = (r[:, 0:SP] + r[:, SP:2 * SP]) + r[:, 2 * SP:3 * SP]
         outs.append(acc)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
@@ -420,15 +424,46 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         # ---- storage permute (identity rows for run pairs) ----
         def _permute_span(st, ps, SP):
+            # The three gathers this needs (ohP@st, ohP@ps, ohFro@st) ride
+            # ONE matmul per 128-row group: LHS = [ohP; ohFro] stacked on
+            # rows, RHS = [st_hi|mid|lo | ps_hi|mid|lo] concatenated on
+            # columns (the ohFro@ps quadrant is computed and discarded —
+            # small matmuls are launch-bound, not FLOP-bound). Products and
+            # the hi+mid+lo re-sum order are unchanged, so this is
+            # bit-identical to the separate _gather calls it replaces.
             st_t = _split3(st[:, pl.ds(0, SP)])
             ps_t = _split3(ps[:, pl.ds(0, SP)])
-            tmp[:, pl.ds(0, SP)] = _gather(ohP, st_t, BC)
-            fr_beam = _gather(ohP, ps_t, BC)
-            fr_child = _gather(ohFro, st_t, BC)
+            G = 128
+            pst_l, pps_l, fst_l = [], [], []
+            for g0 in range(0, BC, G):
+                g1 = min(g0 + G, BC)
+                gsz = g1 - g0
+                OH = jnp.concatenate(
+                    [ohP[g0:g1, 0:gsz].astype(jnp.bfloat16),
+                     ohFro[g0:g1, 0:gsz].astype(jnp.bfloat16)], axis=0)
+                X = jnp.concatenate(
+                    [t[g0:g1] for t in st_t] + [t[g0:g1] for t in ps_t],
+                    axis=1)
+                R = _dotb(OH, X)
+
+                def s3(rows, c0):
+                    return ((rows[:, c0:c0 + SP]
+                             + rows[:, c0 + SP:c0 + 2 * SP])
+                            + rows[:, c0 + 2 * SP:c0 + 3 * SP])
+
+                pst_l.append(s3(R[0:gsz], 0))
+                pps_l.append(s3(R[0:gsz], 3 * SP))
+                fst_l.append(s3(R[gsz:2 * gsz], 0))
+
+            def _cat(parts):
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0)
+
+            fr_beam = _cat(pps_l)
+            fr_child = _cat(fst_l)
             is_child_r = (is_main_r > 0) & (rslot >= W) & (rslot < C)
             newfr = jnp.where(is_child_r, fr_child, fr_beam)
-            st[:, pl.ds(0, SP)] = jnp.where(
-                src_r >= 0, tmp[:, pl.ds(0, SP)], _NEG)
+            st[:, pl.ds(0, SP)] = jnp.where(src_r >= 0, _cat(pst_l), _NEG)
             ps[:, pl.ds(0, SP)] = jnp.where(val_r > 0, newfr, _NEG)
 
         def _span_of(so_base):
@@ -438,7 +473,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             return spn
 
         def _span_buckets(S):
-            return sorted({min(512, S), min(1024, S), S})
+            # 256 is the floor: hiw_s tracking never reports less (init
+            # 2*CH; refresh keeps >= one chunk + CH), and with the tight
+            # plan anchors most steps sit exactly there
+            return sorted({min(256, S), min(512, S), min(1024, S), S})
 
         def permute(st, ps, S, span):
             # span-restricted: lanes >= the live span are -inf in every

@@ -86,6 +86,14 @@ def build_workload():
 # --------------------------------------------------------------------------
 
 def bench_viterbi():
+    """Methodology (VERDICT r2 item 4): the round-2 row timed per-call
+    host->device transfer of a 40 MB batch over the tunneled device link —
+    dispatch/transfer, not compute. Production decode keeps probs
+    device-resident for the whole pipeline, so the headline vs_baseline is
+    the device-compute number (device-resident inputs, block_until_ready);
+    the end-to-end number (fresh H2D each call) is reported alongside."""
+    import jax
+
     from poreover_tpu.io.trace import model_from_trace
     from poreover_tpu.ops.viterbi import argmax_path_batch
 
@@ -93,30 +101,35 @@ def bench_viterbi():
     y = m.log_prob.astype(np.float32)
     T = len(y)
 
-    # single-read latency AND saturated throughput (B=32 wave): a lone
-    # argmax is dispatch-latency-bound on any accelerator; reads/s/chip is
-    # the metric BASELINE.md names
     yb1 = y[None]
     _ = np.asarray(argmax_path_batch(yb1))  # warm (compile)
     lat = _best_of(lambda: np.asarray(argmax_path_batch(yb1)))
-    B = 32
+    B = 128
     yb = np.broadcast_to(y, (B, T, y.shape[1])).copy()
+    yb_dev = jax.device_put(yb)
+    _ = argmax_path_batch(yb_dev).block_until_ready()
+    dev = _best_of(lambda: argmax_path_batch(yb_dev).block_until_ready())
     _ = np.asarray(argmax_path_batch(yb))
-    tpu = _best_of(lambda: np.asarray(argmax_path_batch(yb)))
+    e2e = _best_of(lambda: np.asarray(argmax_path_batch(yb)), n=2)
 
     # single-core numpy baseline — the reference's decode path
     # (transducer.py:72-73: per-step argmax + gap collapse, numpy)
     cpu = _best_of(lambda: [np.argmax(y, axis=1) for _ in range(B)], n=2)
 
     RESULTS["viterbi"] = dict(
-        reads_per_s=round(B / tpu, 3),
-        bases_per_s=round(B * T / tpu, 1),
+        reads_per_s=round(B / dev, 3),
+        bases_per_s=round(B * T / dev, 1),
         single_read_latency_s=round(lat, 5),
-        tpu_s=round(tpu, 5), cpu_s=round(cpu, 5),
-        vs_baseline=round(cpu / tpu, 3),
+        tpu_s=round(dev, 5),
+        e2e_s=round(e2e, 5),
+        reads_per_s_e2e=round(B / e2e, 3),
+        cpu_s=round(cpu, 5),
+        vs_baseline=round(cpu / dev, 3),
+        vs_baseline_e2e=round(cpu / e2e, 3),
     )
-    log(f"viterbi: T={T} batch{B} tpu={tpu*1e3:.2f}ms cpu={cpu*1e3:.2f}ms "
-        f"({cpu/tpu:.2f}x); single-read latency {lat*1e3:.1f}ms")
+    log(f"viterbi: T={T} batch{B} device={dev*1e3:.2f}ms (incl H2D "
+        f"{e2e*1e3:.2f}ms) cpu={cpu*1e3:.2f}ms ({cpu/dev:.2f}x device, "
+        f"{cpu/e2e:.2f}x e2e); single-read latency {lat*1e3:.1f}ms")
 
 
 # --------------------------------------------------------------------------
@@ -148,16 +161,36 @@ def bench_beam():
         x, z = native.global_pair_banded(a, b)
         idents.append(sum(c == d for c, d in zip(x, z)) / max(len(x), 1))
 
+    # saturated throughput: the scan's per-step cost is nearly flat in the
+    # vmap batch axis, so reads/s/chip is measured at a full wave (the two
+    # bundled reads replicated to B=32); outputs asserted identical
+    SAT_B = 32
+    ys_sat = (ys * ((SAT_B + len(ys) - 1) // len(ys)))[:SAT_B]
+    out_sat = beam_search_batch(ys_sat, beam_width=25)  # warm
+    sat = _best_of(lambda: beam_search_batch(ys_sat, beam_width=25), n=2)
+    assert all(out_sat[i] == seqs[i % len(ys)] for i in range(SAT_B)), \
+        "replicated 1D beam outputs diverge"
+    total_T_sat = sum(len(y) for y in ys_sat)
+    cpu_per_read = cpu / len(ys)
+
     RESULTS["beam"] = dict(
         reads_per_s=round(len(ys) / tpu, 3),
         bases_per_s=round(total_T / tpu, 1),
         tpu_s=round(tpu, 3), cpu_s=round(cpu, 3),
         vs_baseline=round(cpu / tpu, 3),
+        sat_batch=SAT_B,
+        sat_s=round(sat, 3),
+        reads_per_s_sat=round(SAT_B / sat, 3),
+        # beam cells = time steps x candidate slots (W*(A+1)) per read
+        cells_per_s_sat=round(total_T_sat * 25 * 5 / sat, 1),
+        vs_baseline_sat=round((SAT_B / sat) * cpu_per_read, 3),
         seq_lens=[len(s) for s in seqs],
         min_cpu_identity=round(min(idents), 5),
     )
     log(f"beam25: {len(ys)} reads T={total_T} tpu={tpu:.2f}s cpu={cpu:.2f}s "
-        f"({cpu/tpu:.2f}x, min_ident={min(idents):.4f})")
+        f"({cpu/tpu:.2f}x, min_ident={min(idents):.4f}); "
+        f"sat B={SAT_B} {sat:.2f}s {SAT_B/sat:.2f} reads/s "
+        f"({(SAT_B/sat)*cpu_per_read:.1f}x single-core)")
 
 
 # --------------------------------------------------------------------------
@@ -298,7 +331,11 @@ def bench_pair():
         RESULTS["pair"] = dict(error="all TPU engines failed")
         return
 
-    # ---- CPU baseline: single-core C++ trie, same windowed semantics ----
+    # ---- CPU baseline: single-core C++ trie with the reference's
+    # UNBOUNDED per-node memos (PrefixTree.h semantics) — the trie_match
+    # stat below therefore measures the windowed-memo TPU engines against
+    # reference semantics, while oracle_exact measures them against the f64
+    # windowed-memo oracle (same intended semantics, double precision) ----
     t0 = time.perf_counter()
     seqs_cpu = [
         native.pair_beam_row_col_cpu(y1, y2, env, beam_width=5)

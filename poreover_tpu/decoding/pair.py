@@ -114,6 +114,23 @@ def get_anchors(alignment, matches: int, indels: int):
     return anchor_ranges, anchor_type
 
 
+def extract_box_workloads(y1, y2, envelope, basecall_boxes):
+    """Slice the per-pair consensus problem into independent anchor-box
+    workloads (reference pair_decode.py:510-522 semantics): each box decodes
+    the envelope restricted to its row range, rebased to its own y slices.
+    Returns [(sort_key, y1_slice, y2_slice, env_slice), ...]; boxes with an
+    empty row range contribute nothing (no signal)."""
+    out = []
+    for b in basecall_boxes:
+        b0, b1 = b[0], b[1]
+        env_slice = envelope[b0:b1]
+        if len(env_slice) == 0:
+            continue
+        y2lo, y2hi = int(env_slice[0, 0]), int(env_slice[-1, 1])
+        out.append((b0, y1[b0:b1], y2[y2lo:y2hi], env_slice - y2lo))
+    return out
+
+
 def _consensus_fn(args, kind: str):
     """Pick the envelope consensus decoding function (reference
     parallel_decoder._beam_search_2d_envelope / _prefix_search_2d_envelope,
@@ -490,21 +507,45 @@ def pair_decode_helper(args, _workload_sink=None):
             float(np.sum(alignment_envelope[:, 1] - alignment_envelope[:, 0])),
         )
     else:
-        basecalls = []
-        for b in basecall_boxes:
-            b0, b1 = b[0], b[1]
-            env_slice = alignment_envelope[b0:b1]
-            if len(env_slice) == 0:
-                continue
-            y1_ = y1[b0:b1]
-            y2_ = y2[env_slice[0, 0]: env_slice[-1, 1]]
-            env_ = env_slice - env_slice[0, 0]
-            basecalls.append((b0, decoding_fn(y1_, y2_, env_)))
+        box_workloads = extract_box_workloads(
+            y1, y2, alignment_envelope, basecall_boxes
+        )
+        if _workload_sink is not None and model1.kind == "poreover":
+            # batched anchored mode: every box across every pair becomes
+            # one lane of the batched TPU kernel; the finish continuation
+            # stitches box consensi with the anchor sequences
+            anchors = list(basecall_anchors)
+
+            def _finish_boxes(seqs, _anchors=anchors, _bw=box_workloads):
+                joined = "".join(s for _, s in sorted(
+                    _anchors + [(k, s) for (k, *_), s in zip(_bw, seqs)]
+                ))
+                return _format_result(joined)
+
+            _workload_sink(
+                [(wl[1], wl[2], wl[3]) for wl in box_workloads],
+                _finish_boxes, summary,
+            )
+            return None
+        basecalls = [
+            (k, decoding_fn(y1_, y2_, env_))
+            for k, y1_, y2_, env_ in box_workloads
+        ]
         joined_basecalls = "".join(
             s for _, s in sorted(basecalls + basecall_anchors)
         )
 
     return _format_result(joined_basecalls)
+
+
+def _batch_fn():
+    import jax
+
+    if jax.default_backend() == "tpu" and not jax.config.jax_enable_x64:
+        from ..ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+        return pair_beam_pallas_batch
+    from ..ops.beam2d_planned import beam_search_2d_planned_batch
+    return beam_search_2d_planned_batch
 
 
 def _batched_consensus(workloads, args, kind: str):
@@ -513,13 +554,7 @@ def _batched_consensus(workloads, args, kind: str):
     wave — the TPU-native replacement for the reference's per-pair process
     pool. On TPU hardware the wave runs as the batched Pallas mega-kernel;
     elsewhere as the vmapped XLA engine (identical output, tested)."""
-    import jax
-
-    if jax.default_backend() == "tpu" and not jax.config.jax_enable_x64:
-        from ..ops.pallas_pair_beam_batch import pair_beam_pallas_batch as batch_fn
-    else:
-        from ..ops.beam2d_planned import beam_search_2d_planned_batch as batch_fn
-
+    batch_fn = _batch_fn()
     wave = max(int(args.threads), 1)
     out: list[str] = []
     for i in range(0, len(workloads), wave):
@@ -538,14 +573,51 @@ def _batched_consensus(workloads, args, kind: str):
     return out
 
 
+def _batched_box_consensus(box_lists, args, kind: str):
+    """Anchored mode (--skip_matches): pool every pair's anchor boxes into
+    length-sorted lockstep waves — the inter-anchor boxes are tiny
+    independent consensus problems (p50 ~40 plan steps on real reads), so
+    hundreds of them ride one kernel launch as extra batch lanes. Returns
+    one list of box sequences per input pair, in order."""
+    batch_fn = _batch_fn()
+    flat = []  # (pair_idx, box_idx, workload)
+    for pi, boxes in enumerate(box_lists):
+        for bi, wl in enumerate(boxes):
+            flat.append((pi, bi, wl))
+    # sort by a plan-length proxy so each wave's lanes are similar length
+    # (lockstep pads every lane to the wave's longest plan)
+    order = sorted(range(len(flat)),
+                   key=lambda i: len(flat[i][2][0]) + len(flat[i][2][1]))
+    wave = max(8 * int(args.threads), 32)
+    results: dict[tuple, str] = {}
+    for i in range(0, len(order), wave):
+        sel = order[i : i + wave]
+        chunk = [flat[j][2] for j in sel]
+        log.info(
+            "anchored consensus wave %d-%d/%d (one batched kernel launch)",
+            i, i + len(sel), len(order),
+        )
+        _t0 = time.perf_counter()
+        seqs = batch_fn(chunk, beam_width=args.beam_width)
+        timers.seconds["consensus_2d"] += time.perf_counter() - _t0
+        timers.add_work(
+            "consensus_2d",
+            float(sum(np.sum(env[:, 1] - env[:, 0]) for _, _, env in chunk)),
+        )
+        for j, s in zip(sel, seqs):
+            results[flat[j][:2]] = s
+    return [[results[(pi, bi)] for bi in range(len(boxes))]
+            for pi, boxes in enumerate(box_lists)]
+
+
 def _batchable(args, kind: str) -> bool:
-    """The batched Pallas kernel covers the default configuration:
-    plain-CTC row_col envelope beam search."""
+    """The batched Pallas kernel covers the default configuration
+    (plain-CTC row_col envelope beam search) and its anchored
+    --skip_matches variant (boxes pool into lockstep lanes)."""
     return (
         args.algorithm == "beam"
         and args.beam_search_method == "row_col"
         and kind == "poreover"
-        and not args.skip_matches
         and args.method == "envelope"
         and not getattr(args, "debug_envelope", False)
         and args.threads > 1
@@ -635,10 +707,16 @@ def pair_decode(args) -> None:
         def flush_pending():
             if not pending:
                 return
+            box_mode = args.skip_matches
             try:
-                seqs = _batched_consensus(
-                    [wl for _, wl, _, _ in pending], args, kind
-                )
+                if box_mode:
+                    seqs = _batched_box_consensus(
+                        [wl for _, wl, _, _ in pending], args, kind
+                    )
+                else:
+                    seqs = _batched_consensus(
+                        [wl for _, wl, _, _ in pending], args, kind
+                    )
             except Exception:
                 log.exception(
                     "batched consensus wave failed; falling back per-pair"
@@ -647,7 +725,10 @@ def pair_decode(args) -> None:
                 seqs = []
                 for _, wl, _, _ in pending:
                     try:
-                        seqs.append(decoding_fn(*wl))
+                        if box_mode:
+                            seqs.append([decoding_fn(*b) for b in wl])
+                        else:
+                            seqs.append(decoding_fn(*wl))
                     except Exception:
                         log.exception("per-pair consensus failed; skipping")
                         seqs.append(None)

@@ -39,6 +39,17 @@ import numpy as np
 _NEG = np.float32(-1e30)
 
 MAIN, C0RUN, C1RUN = 0, 1, 2
+# sweep-continuation steps: a MAIN step whose axis window exceeds the
+# storage cap is split in the plan into MAIN (capped window) + CONT parts
+# at 128-aligned absolute positions. Parts sweep the same (unchanged)
+# candidate table with seeds re-read from storage, and scores accumulate
+# per-axis window maxes across parts — bit-identical to the unsplit sweep
+# because part boundaries coincide with the kernel's internal chunk grid
+# (the f32 chain seeding/summation order is unchanged).
+CONT0, CONT1 = 3, 4
+
+# emission-ring refresh cadence (steps); N_pad is always a multiple of this
+RREF = 512
 
 _M1 = np.int32(np.uint32(2654435761).astype(np.int32))
 _M2 = np.int32(40503)
@@ -110,7 +121,8 @@ def _gather_f32(oh_ref, x, BC: int):
 
 
 def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
-                  L1: int, L2: int, K: int = 1, NTOT: int = 0):
+                  L1: int, L2: int, K: int = 1, NTOT: int = 0,
+                  RING0: int = 2048, RING1: int = 2048):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -131,8 +143,9 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                st0, ps0, st1, ps1,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                so_s, ohP, ohFro, ohG, ohG2,
-               seeds, mx0s, mx, tmp,
-               plan_s, pv_s, dma_sem, hiw_s):
+               seeds, mx0s, mx, mx1s, tmp,
+               plan_s, pv_s, dma_sem, hiw_s,
+               yr0, yr1, ybs_s):
         for _k in range(K):
             _step_body(pl.program_id(0) * K + _k,
                        y1_ref, y2_ref, plan_ref,
@@ -140,16 +153,18 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                        st0, ps0, st1, ps1,
                        K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                        so_s, ohP, ohFro, ohG, ohG2,
-                       seeds, mx0s, mx, tmp,
-                       plan_s, pv_s, dma_sem, hiw_s)
+                       seeds, mx0s, mx, mx1s, tmp,
+                       plan_s, pv_s, dma_sem, hiw_s,
+                       yr0, yr1, ybs_s)
 
     def _step_body(i, y1_ref, y2_ref, plan_ref,
                    prov_ref, sco_ref, val_ref,
                    st0, ps0, st1, ps1,
                    K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                    so_s, ohP, ohFro, ohG, ohG2,
-                   seeds, mx0s, mx, tmp,
-                   plan_s, pv_s, dma_sem, hiw_s):
+                   seeds, mx0s, mx, mx1s, tmp,
+                   plan_s, pv_s, dma_sem, hiw_s,
+                   yr0, yr1, ybs_s):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
         prow = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 0)
@@ -195,17 +210,42 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         is_main = scal_vec(
             [jnp.where(s == MAIN, 1.0, 0.0) for s in stype], 0.0)
+        # sweep-all steps (MAIN + CONT parts): sweep every valid table row
+        # and update scores; CONT parts leave the table/storage permutation
+        # untouched (is_main stays the gate for those)
+        is_swall = scal_vec(
+            [jnp.where((s == MAIN) | (s >= CONT0), 1.0, 0.0)
+             for s in stype], 0.0)
         is_main_r = jnp.zeros((BC, 1), jnp.float32)
+        c0cont_r = jnp.zeros((BC, 1), jnp.float32)
+        c1cont_r = jnp.zeros((BC, 1), jnp.float32)
         for b in range(B):
             is_main_r = jnp.where(
                 rblk == b, jnp.where(stype[b] == MAIN, 1.0, 0.0), is_main_r)
+            c0cont_r = jnp.where(
+                rblk == b, jnp.where(stype[b] == CONT0, 1.0, 0.0), c0cont_r)
+            c1cont_r = jnp.where(
+                rblk == b, jnp.where(stype[b] == CONT1, 1.0, 0.0), c1cont_r)
 
         # ------------------------------------------------------------------
         @pl.when(i == 0)
         def _init():
+            # fill both emission rings from the start of the (HBM) planes;
+            # per-pair refreshes slide them forward as eviction anchors rise
+            cp0 = pltpu.make_async_copy(
+                y1_ref.at[:, pl.ds(0, RING0)], yr0, dma_sem.at[4])
+            cp1 = pltpu.make_async_copy(
+                y2_ref.at[:, pl.ds(0, RING1)], yr1, dma_sem.at[5])
+            cp0.start()
+            cp1.start()
+            cp0.wait()
+            cp1.wait()
+            mx0s[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
+            mx1s[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
             for b in range(2 * B):
                 so_s[b] = -128
                 hiw_s[b] = 2 * CH  # t=0 init writes land at lane 128
+                ybs_s[b] = 0
             st0[:, :] = jnp.full((BC, S0), _NEG, jnp.float32)
             ps0[:, :] = jnp.full((BC, S0), _NEG, jnp.float32)
             st1[:, :] = jnp.full((BC, S1), _NEG, jnp.float32)
@@ -226,9 +266,9 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             for b in range(B):
                 for c in range(A):
                     acc0 = jnp.where((rr == b * CP + c) & (li0 == 128),
-                                     y1_ref[8 * b + c, 0], acc0)
+                                     yr0[8 * b + c, 0], acc0)
                     acc1 = jnp.where((rr == b * CP + c) & (li1 == 128),
-                                     y2_ref[8 * b + c, 0], acc1)
+                                     yr1[8 * b + c, 0], acc1)
             st0[:, :] = acc0
             st1[:, :] = acc1
 
@@ -335,7 +375,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         PCH[:, :] = fpch
         VAL[:, :] = fval
 
-        swept_f = jnp.where(im, fval, wmatch * jnp.where(val > 0, 1.0, 0.0))
+        # sweep set: MAIN/CONT sweep every valid row (fval == val at CONT,
+        # the table was not updated); catch-runs sweep the winner-key set
+        sa = is_swall > 0
+        swept_f = jnp.where(sa, fval, wmatch * jnp.where(val > 0, 1.0, 0.0))
         swept = swept_f > 0
 
         # ---- row-space bookkeeping via in-block broadcast + masked
@@ -502,7 +545,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         # ==================================================================
         liC = jax.lax.broadcasted_iota(jnp.int32, (BC, CH), 1)
 
-        def sweep_axis(st, ps, y_ref, los, his, WF, S, L, so_base,
+        def sweep_axis(st, ps, y_ref, yr, RING, los, his, WF, S, L, so_base,
                        plan_so):
             new_so = []
             for b in range(B):
@@ -556,6 +599,8 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             for b in range(1, B):
                 n_chunks = jnp.maximum(n_chunks, nchk[b])
 
+            ybases = [ybs_s[so_base + b] for b in range(B)]
+
             lo_r = jnp.zeros((BC, 1), jnp.int32)
             hi_r = jnp.zeros((BC, 1), jnp.int32)
             so_r = jnp.zeros((BC, 1), jnp.int32)
@@ -592,7 +637,9 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                         jnp.minimum(c_lo_u, L - CH), 128)  # clamped (memory)
                     rows = slice(b * CP, (b + 1) * CP)
                     yrows = slice(8 * b, 8 * (b + 1))
-                    yw = y_ref[yrows, pl.ds(c_lo, CH)]
+                    ypos = pl.multiple_of(
+                        jnp.clip(c_lo - ybases[b], 0, RING - CH), 128)
+                    yw = yr[yrows, pl.ds(ypos, CH)]
                     em_b = jnp.full((CP, CH), _NEG, jnp.float32)
                     chb = ch_r[b * CP:(b + 1) * CP, :]
                     for c in range(A):
@@ -733,12 +780,53 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         n_layers = jnp.minimum(
             jnp.max(dvec).astype(jnp.int32), LAYERS)
 
-        sweep_axis(st0, ps0, y1_ref, alo, ahi, WF0, S0, L1, 0, pso0)
-        mx0s[:, :] = mx[:, :]
-        sweep_axis(st1, ps1, y2_ref, blo, bhi, WF1, S1, L2, B, pso1)
+        sweep_axis(st0, ps0, y1_ref, yr0, RING0, alo, ahi, WF0, S0, L1, 0,
+                   pso0)
+        # per-axis window maxes persist across CONT parts: MAIN resets,
+        # CONT0/CONT1 accumulate their axis, runs leave them alone — so
+        # max(parts) + other-axis max == the unsplit step's score
+        mx0s[:, :] = jnp.where(
+            is_main_r > 0, mx[:, :],
+            jnp.where(c0cont_r > 0, jnp.maximum(mx0s[:, :], mx[:, :]),
+                      mx0s[:, :]))
+        sweep_axis(st1, ps1, y2_ref, yr1, RING1, blo, bhi, WF1, S1, L2, B,
+                   pso1)
+
+        # ---- emission ring refresh, block-scheduled: every RREF steps,
+        # slide every pair's ring base up to its current eviction anchor
+        # (reads are always >= the anchor — same proof as storage eviction
+        # — and anchors are non-decreasing). The host sizes RING0/RING1 so
+        # one block's reads always fit from the previous block-boundary
+        # anchor, so the refresh needs NO per-pair conditionals (a
+        # conditional DMA per pair per step measurably serializes, and a
+        # nested conditional variant deadlocked the device).
+        @pl.when(i % RREF == RREF - 1)
+        def _ring_refresh():
+            for b in range(B):
+                nb0 = pl.multiple_of(
+                    jnp.clip(pso0[b], 0, L1 - RING0), 128)
+                nb1 = pl.multiple_of(
+                    jnp.clip(pso1[b], 0, L2 - RING1), 128)
+                ybs_s[b] = nb0
+                ybs_s[B + b] = nb1
+                cp0 = pltpu.make_async_copy(
+                    y1_ref.at[pl.ds(8 * b, 8), pl.ds(nb0, RING0)],
+                    yr0.at[pl.ds(8 * b, 8), :], dma_sem.at[4])
+                cp1 = pltpu.make_async_copy(
+                    y2_ref.at[pl.ds(8 * b, 8), pl.ds(nb1, RING1)],
+                    yr1.at[pl.ds(8 * b, 8), :], dma_sem.at[5])
+                cp0.start()
+                cp1.start()
+                cp0.wait()
+                cp1.wait()
+
+        mx1s[:, :] = jnp.where(
+            is_main_r > 0, mx[:, :],
+            jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
+                      mx1s[:, :]))
 
         # ---- scores: rows -> lanes bridge via transpose ----
-        tot_r = mx0s[:, :] + mx[:, :]  # [BC, 1]
+        tot_r = mx0s[:, :] + mx1s[:, :]  # [BC, 1]
         colIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
         rowIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 0)
         acc = jnp.full((LN, PB), _NEG, jnp.float32)
@@ -752,7 +840,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                             acc)
         sc_lanes = jnp.transpose(acc)  # [PB, LN]
         new_sco = jnp.where((fval > 0) & (lane < C), sc_lanes, _NEG)
-        SCO[:, :] = jnp.where(im, new_sco, sco)
+        SCO[:, :] = jnp.where(sa, new_sco, sco)
 
         # ---- provenance: ONE bit-packed int32 per pair per step ----
         # layout: bits 0-1 step type; bits 2+6w: winner w's slot + 1
@@ -767,7 +855,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         #    N*PB*4 bytes (1.7 MB for a full read pair batch) instead of
         #    128x that — the fat layout's device->host fetch took longer
         #    than the kernel itself.
-        packed = scal_vec(stype, C0RUN, jnp.int32)
+        # CONT0/CONT1 both clamp to 3 in the 2-bit type field — the
+        # traceback only distinguishes MAIN (0) from everything else
+        packed = scal_vec([jnp.minimum(s, 3) for s in stype], C0RUN,
+                          jnp.int32)
         for w in range(W):
             wv = jnp.sum(jnp.where(lane == w, win, 0), axis=1, keepdims=True)
             packed = packed | ((wv + 1) << (2 + 6 * w))
@@ -793,6 +884,94 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
     return kernel, C, CP, PB, BC, S0, S1
 
 
+def _split_wide(plan: dict, cap: int = 256) -> dict:
+    """Split plan windows wider than ``cap`` into parts at 128-aligned
+    absolute positions (cap must be a multiple of 128).
+
+    Catch-runs split into more catch-runs of the same type (the winner set
+    re-derives identically from the unchanged table, and seeds re-read from
+    storage). MAIN windows split into a capped MAIN + CONT0/CONT1
+    continuation steps that sweep the unchanged table and accumulate the
+    per-axis window maxes (mx0s/mx1s in the kernel). Part boundaries
+    coincide with the kernel's internal 128-column chunk grid, so the f32
+    chain order — and therefore the output — is bit-identical to the
+    unsplit plan; what changes is that the plan's eviction anchors
+    (suffix-min of window lo) can now rise *inside* a wide window, keeping
+    the live storage span (and Wst) bounded by ~cap instead of the widest
+    envelope degeneracy (~1.8k columns on real reads)."""
+    t = plan["type"]
+    al, ah = plan["a_lo"], plan["a_hi"]
+    bl, bh = plan["b_lo"], plan["b_hi"]
+    wide = (((t != C1RUN) & (ah - al > cap))
+            | ((t != C0RUN) & (bh - bl > cap)))
+    if not wide.any():
+        return plan
+
+    def parts(lo: int, hi: int):
+        out = []
+        p = lo
+        while hi - p > cap:
+            q = (p // 128) * 128 + cap
+            out.append((p, q))
+            p = q
+        out.append((p, hi))
+        return out
+
+    rows = []
+    idx = np.nonzero(wide)[0]
+    prev = 0
+    keep = np.stack([t, al, ah, bl, bh], axis=1).astype(np.int32)
+    for i in idx:
+        rows.extend(map(tuple, keep[prev:i]))
+        prev = i + 1
+        ty = int(t[i])
+        a0, a1, b0, b1 = int(al[i]), int(ah[i]), int(bl[i]), int(bh[i])
+        if ty == C0RUN:
+            rows.extend((C0RUN, lo, hi, 0, 0) for lo, hi in parts(a0, a1))
+        elif ty == C1RUN:
+            rows.extend((C1RUN, 0, 0, lo, hi) for lo, hi in parts(b0, b1))
+        else:
+            ap = parts(a0, a1) if a1 - a0 > cap else [(a0, a1)]
+            bp = parts(b0, b1) if b1 - b0 > cap else [(b0, b1)]
+            rows.append((MAIN, ap[0][0], ap[0][1], bp[0][0], bp[0][1]))
+            rows.extend((CONT0, lo, hi, 0, 0) for lo, hi in ap[1:])
+            rows.extend((CONT1, 0, 0, lo, hi) for lo, hi in bp[1:])
+    rows.extend(map(tuple, keep[prev:]))
+    arr = np.asarray(rows, dtype=np.int32)
+    return dict(type=arr[:, 0], a_lo=arr[:, 1], a_hi=arr[:, 2],
+                b_lo=arr[:, 3], b_hi=arr[:, 4])
+
+
+def _plan_anchors(p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Tight eviction anchors per axis: the 128-aligned suffix-min of
+    (window lo - 1). No step at or after t ever reads a storage lane below
+    it (sweep fro/seed reads start at lo-1, chunk origins at
+    align_down(lo)), so the kernel may evict up to here early. Zero-width
+    steps don't sweep, so they don't constrain; steps with no future sweep
+    on an axis anchor to the end of the read (history dead)."""
+    U_b = int(p["a_hi"].max())
+    V_b = int(p["b_hi"].max())
+    sw0 = (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"])
+    sw1 = (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"])
+    lo0 = np.where(sw0, p["a_lo"], U_b + 1).astype(np.int64)
+    lo1 = np.where(sw1, p["b_lo"], V_b + 1).astype(np.int64)
+    sm0 = np.minimum.accumulate((lo0 - 1)[::-1])[::-1] // 128 * 128
+    sm1 = np.minimum.accumulate((lo1 - 1)[::-1])[::-1] // 128 * 128
+    return sm0, sm1
+
+
+def _plan_spans(p: dict, sm0: np.ndarray, sm1: np.ndarray) -> tuple[int, int]:
+    """Required live storage span per axis: max over sweeping steps of
+    (window hi - eviction anchor). The anchors rise inside split windows,
+    but the walk re-reads back into wide transposed-envelope columns, so
+    the span — not the capped window width — is what storage must hold."""
+    sw0 = (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"])
+    sw1 = (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"])
+    s0 = int(np.where(sw0, p["a_hi"] - sm0, 0).max(initial=0))
+    s1 = int(np.where(sw1, p["b_hi"] - sm1, 0).max(initial=0))
+    return s0, s1
+
+
 def _pack_plane(y: np.ndarray, L: int) -> np.ndarray:
     """[T, A+1] log-probs -> [8, L] plane (emissions, gap, cum-gap@t-1)."""
     T, S = y.shape
@@ -806,22 +985,27 @@ def _pack_plane(y: np.ndarray, L: int) -> np.ndarray:
 
 @partial(jax.jit,
          static_argnames=("B", "W", "A", "Wst0", "Wst1", "CH", "L1", "L2",
-                          "K"))
+                          "K", "RING0", "RING1"))
 def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
-                Wst0: int, Wst1: int, CH: int, L1: int, L2: int, K: int = 1):
+                Wst0: int, Wst1: int, CH: int, L1: int, L2: int, K: int = 1,
+                RING0: int = 2048, RING1: int = 2048):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = plan_mat.shape[1]
     kernel, C, CP, PB, BC, S0, S1 = _build_kernel(B, W, A, Wst0, Wst1, CH,
-                                                  L1, L2, K=K, NTOT=N)
+                                                  L1, L2, K=K, NTOT=N,
+                                                  RING0=RING0, RING1=RING1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(N // K,),
+        # emission planes live in HBM; the kernel stages them through
+        # per-pair VMEM rings (yr0/yr1) refreshed by anchor-gated DMAs, so
+        # VMEM no longer scales with read length x batch
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         # outputs live in HBM and are filled by explicit async DMAs from
@@ -852,11 +1036,15 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((BC, 1), jnp.float32),    # seeds
             pltpu.VMEM((BC, 1), jnp.float32),    # mx0s
             pltpu.VMEM((BC, 1), jnp.float32),    # mx
+            pltpu.VMEM((BC, 1), jnp.float32),    # mx1s
             pltpu.VMEM((BC, max(S0, S1)), jnp.float32),  # tmp
             pltpu.SMEM((8 * B, 128), jnp.int32),  # plan_s
             pltpu.VMEM((PB, 128), jnp.int32),     # pv_s (packed prov accum)
-            pltpu.SemaphoreType.DMA((4,)),        # dma_sem
+            pltpu.SemaphoreType.DMA((6,)),        # dma_sem
             pltpu.SMEM((2 * B,), jnp.int32),      # hiw_s (live spans)
+            pltpu.VMEM((8 * B, RING0), jnp.float32),  # yr0 (emission ring)
+            pltpu.VMEM((8 * B, RING1), jnp.float32),  # yr1
+            pltpu.SMEM((2 * B,), jnp.int32),      # ybs_s (ring bases)
         ],
     )
     prov, sco, valid = pl.pallas_call(
@@ -923,33 +1111,66 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         if envelope is None:
             envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
         env = np.asarray(envelope, dtype=np.int64)[:U]
-        plans.append(build_plan(env, U, V))
+        plans.append(_split_wide(build_plan(env, U, V)))
         ys.append((y1, y2))
 
     N = max(len(p["type"]) for p in plans)
     N_pad = ((N + 511) // 512) * 512
 
+    anchors = [_plan_anchors(p) for p in plans]
+    spans = [_plan_spans(p, sm0, sm1)
+             for p, (sm0, sm1) in zip(plans, anchors)]
     w0 = max(
         int(np.where(p["type"] != C1RUN, p["a_hi"] - p["a_lo"], 0).max())
         for p in plans)
     w1 = max(
         int(np.where(p["type"] != C0RUN, p["b_hi"] - p["b_lo"], 0).max())
         for p in plans)
+    s0 = max(s[0] for s in spans)
+    s1 = max(s[1] for s in spans)
 
-    def bucket(x, buckets=(384, 768, 1536, 3072)):
+    def bucket(x, buckets=(384, 768, 1536, 2048, 3072)):
         for bk in buckets:
             if x <= bk:
                 return bk
         return ((x + 1023) // 1024) * 1024
 
-    Wst0 = bucket(max(w0, 1) + 2)
-    Wst1 = bucket(max(w1, 1) + 2)
+    # storage must hold the full live span [anchor, window hi); the kernel's
+    # forced-eviction fallback (his - WF) must never rise past the anchor,
+    # which holds when Wst + 2*CH >= span — bucket(span) is comfortably that
+    Wst0 = bucket(max(w0, s0, 1) + 2)
+    Wst1 = bucket(max(w1, s1, 1) + 2)
 
     T1 = max(len(y1) for y1, _ in ys)
     T2 = max(len(y2) for _, y2 in ys)
     L1 = ((T1 + CH + 8 + 127) // 128) * 128
     L2 = ((T2 + CH + 8 + 127) // 128) * 128
     Lp = ((N_pad + 127) // 128) * 128
+
+    # emission-ring sizes: every RREF-step block's reads must fit the ring
+    # filled from the previous block boundary's eviction anchor (base 0 for
+    # block 0). Exact per-block simulation of what the kernel will do; +256
+    # covers chunk-origin alignment and ceil-to-CH read slop.
+    def ring_required(plans_lohi):
+        need = 1024
+        for lo, hi, sw, sm in plans_lohi:
+            n = len(lo)
+            read_hi = np.where(sw, hi + 2 * CH, 0)
+            base = np.clip(sm, 0, None)
+            for k0 in range(0, n, RREF):
+                blk_base = 0 if k0 == 0 else int(base[k0 - 1])
+                blk_need = int(read_hi[k0:k0 + RREF].max(initial=0))
+                need = max(need, blk_need - blk_base)
+        return ((need + 1023) // 1024) * 1024
+
+    RING0 = min(ring_required(
+        [(p["a_lo"], p["a_hi"],
+          (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"]), sm0)
+         for p, (sm0, _) in zip(plans, anchors)]), L1)
+    RING1 = min(ring_required(
+        [(p["b_lo"], p["b_hi"],
+          (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"]), sm1)
+         for p, (_, sm1) in zip(plans, anchors)]), L2)
 
     y1p = np.concatenate([_pack_plane(y1, L1) for y1, _ in ys])
     y2p = np.concatenate([_pack_plane(y2, L2) for _, y2 in ys])
@@ -963,25 +1184,13 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         plan_mat[8 * b + 2, :n] = p["a_hi"]
         plan_mat[8 * b + 3, :n] = p["b_lo"]
         plan_mat[8 * b + 4, :n] = p["b_hi"]
-        # rows 5/6: tight eviction anchors — the 128-aligned suffix-min of
-        # (window lo - 1) per axis. No step at or after t ever reads a
-        # storage lane below it (sweep fro/seed reads start at lo-1, chunk
-        # origins at align_down(lo)), so the kernel may evict up to here
-        # early; that keeps the live storage span (and the per-step
-        # permute/refresh gathers over it) short instead of ~Wst wide.
-        # Outputs are bit-identical: evicted-early lanes are provably
-        # never read. Zero-width steps don't sweep, so they don't
-        # constrain; steps with no future sweep on an axis anchor to the
-        # end of the read (history dead).
-        U_b, V_b = int(p["a_hi"].max()), int(p["b_hi"].max())
-        sw0 = (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"])
-        sw1 = (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"])
-        lo0 = np.where(sw0, p["a_lo"], U_b + 1).astype(np.int64)
-        lo1 = np.where(sw1, p["b_lo"], V_b + 1).astype(np.int64)
-        sm0 = np.minimum.accumulate((lo0 - 1)[::-1])[::-1]
-        sm1 = np.minimum.accumulate((lo1 - 1)[::-1])[::-1]
-        plan_mat[8 * b + 5, :n] = (sm0 // 128 * 128).astype(np.int32)
-        plan_mat[8 * b + 6, :n] = (sm1 // 128 * 128).astype(np.int32)
+        # rows 5/6: tight eviction anchors (_plan_anchors). Evicting up to
+        # them keeps the live storage span (and the per-step permute/
+        # refresh gathers over it) short; outputs are bit-identical because
+        # evicted-early lanes are provably never read.
+        sm0, sm1 = anchors[b]
+        plan_mat[8 * b + 5, :n] = sm0.astype(np.int32)
+        plan_mat[8 * b + 6, :n] = sm1.astype(np.int32)
         if n < N_pad:
             plan_mat[8 * b + 5, n:N_pad] = plan_mat[8 * b + 5, n - 1]
             plan_mat[8 * b + 6, n:N_pad] = plan_mat[8 * b + 6, n - 1]
@@ -989,7 +1198,8 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
 
     prov, sco, valid = _run_kernel(
         jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat),
-        B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid)
+        B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid,
+        RING0=RING0, RING1=RING1)
     PB = max(B, 8)
     # [n_blocks, PB, 128] packed words; pair b's step i word sits at
     # block i//128, row b, lane i%128

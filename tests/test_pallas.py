@@ -40,6 +40,22 @@ def cases():
          np.clip(np.arange(U) + 15, 1, V)], axis=1
     ).astype(np.int64)
     out.append((y1, y2, env))
+    # envelope degeneracies that force plan windows > the 256-column split
+    # cap on BOTH axes (a tall stack of rows covering the same columns
+    # inflates the transposed first+count extents; one wide row inflates a
+    # row window), exercising the CONT0/CONT1 continuation-step path. The
+    # XLA reference engine decodes the UNSPLIT plan, so equality proves
+    # the split is exact.
+    U, V = 420, 460
+    y1, y2 = softmax_log(U), softmax_log(V)
+    lo = np.clip(np.arange(U) - 8, 0, V - 1)
+    hi = np.clip(np.arange(U) + 12, 1, V)
+    lo[50:340] = 40
+    hi[50:340] = 64
+    lo[340:350] = 40
+    hi[340:350] = 440
+    env = np.stack([lo, hi], axis=1).astype(np.int64)
+    out.append((y1, y2, env))
     return out
 
 

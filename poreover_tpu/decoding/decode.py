@@ -209,9 +209,22 @@ def decode(args) -> None:
     log.info("wrote %d/%d sequences to %s", len(results), len(in_files), out_path)
 
     if n_hosts > 1:
+        with open(args.out + shard + ".idx", "w") as f:
+            for idx in range(len(in_files)):
+                print(1 if idx in results else 0, file=f)
+
         from ..parallel.sharding import make_mesh, merge_stats
 
         merged = merge_stats(
             {"reads": len(in_files), "decoded": len(results)}, make_mesh()
         )
         log.info("cluster totals (all hosts): %s", merged)
+
+        # process 0 reconstructs the single fasta the reference's Pool
+        # callback writes (decode.py:140-162); the stats collective above
+        # is the barrier proving every shard is on disk
+        if jax.process_index() == 0:
+            from ..parallel.merge import merge_decode_shards
+
+            merge_decode_shards(args.out, n_hosts)
+            log.info("merged %d host shards into %s.fasta", n_hosts, args.out)

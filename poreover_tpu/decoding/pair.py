@@ -769,7 +769,17 @@ def pair_decode(args) -> None:
         timers.log_summary("pair-decode stage timers")
 
         if n_hosts > 1:
-            # collective-merged run totals (every host must participate)
+            # sidecar: per-local-pair fasta record counts, so the merge can
+            # walk the shard streams past skipped pairs
+            with open(args.out + shard + ".idx", "w") as f:
+                for i in range(len(pairs)):
+                    r = results.get(i)
+                    n1, n2 = (2, 1) if r and len(r) == 3 else (
+                        (0, 1) if r and len(r) == 2 else (0, 0))
+                    print(n1, n2, file=f)
+
+            # collective-merged run totals (every host must participate);
+            # this is also the barrier proving every shard is on disk
             from ..parallel.sharding import make_mesh, merge_stats
 
             skipped = sum(
@@ -786,6 +796,17 @@ def pair_decode(args) -> None:
                 make_mesh(),
             )
             log.info("cluster totals (all hosts): %s", merged)
+
+            # process 0 reconstructs the single fasta/log triplet the
+            # reference's Pool callback writes (pair_decode.py:262-284)
+            import jax
+
+            if jax.process_index() == 0:
+                from ..parallel.merge import merge_pair_shards
+
+                merge_pair_shards(args.out, n_hosts)
+                log.info("merged %d host shards into %s.{1d,2d}.fasta/.log",
+                         n_hosts, args.out)
     else:
         result = pair_decode_helper(args)
         print(result[-1], file=sys.stderr)

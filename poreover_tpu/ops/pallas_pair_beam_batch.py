@@ -50,6 +50,8 @@ CONT0, CONT1 = 3, 4
 
 # emission-ring refresh cadence (steps); N_pad is always a multiple of this
 RREF = 512
+# storage eviction-shift cadence (steps)
+RSHIFT = 128
 
 _M1 = np.int32(np.uint32(2654435761).astype(np.int32))
 _M2 = np.int32(40503)
@@ -517,9 +519,11 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         def _span_buckets(S):
             # 256 is the floor: hiw_s tracking never reports less (init
-            # 2*CH; refresh keeps >= one chunk + CH), and with the tight
-            # plan anchors most steps sit exactly there
-            return sorted({min(256, S), min(512, S), min(1024, S), S})
+            # 2*CH; refresh keeps >= one chunk + CH). 384 matters since
+            # block-scheduled eviction: spans drift up to +RSHIFT between
+            # shift boundaries, so typical steps sit at 256-384
+            return sorted({min(256, S), min(384, S), min(512, S),
+                           min(1024, S), S})
 
         def permute(st, ps, S, span):
             # span-restricted: lanes >= the live span are -inf in every
@@ -547,50 +551,22 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         def sweep_axis(st, ps, y_ref, yr, RING, los, his, WF, S, L, so_base,
                        plan_so):
-            new_so = []
+            # storage offsets are constant within a step: eviction shifts
+            # run in the uniform block-scheduled pass every RSHIFT steps
+            # (_storage_shift below) — a per-step conditional shift region
+            # per pair measurably serializes (~2us/pair/step). The host
+            # sizes Wst so no window outgrows storage between boundaries.
+            new_so = [so_s[so_base + b] for b in range(B)]
             for b in range(B):
-                so_b = so_s[so_base + b]
-                need = his[b] - WF
-                cand = ((need + 127) // 128) * 128
-                # tight anchor: the plan's suffix-min proof says nothing at
-                # or after this step reads below plan_so[b] — evicting up
-                # to it keeps the live span short (see driver rows 5/6)
-                ns = pl.multiple_of(
-                    jnp.maximum(jnp.maximum(so_b, cand), plan_so[b]), 128)
-                d = pl.multiple_of(ns - so_b, 128)
-
-                @pl.when(d != 0)
-                def _shift(b=b, d=d, st=st, ps=ps, S=S):
-                    nblk = S // CH
-                    for ref in (st, ps):
-                        for j in range(nblk):
-                            srcp = pl.multiple_of(j * CH + d, 128)
-
-                            @pl.when(srcp <= S - CH)
-                            def _cp(j=j, srcp=srcp, ref=ref, b=b):
-                                tmp[b * CP:(b + 1) * CP,
-                                    j * CH:(j + 1) * CH] = ref[
-                                        b * CP:(b + 1) * CP, pl.ds(srcp, CH)]
-
-                            @pl.when(srcp > S - CH)
-                            def _fl(j=j, ref=ref, b=b):
-                                tmp[b * CP:(b + 1) * CP,
-                                    j * CH:(j + 1) * CH] = jnp.full(
-                                        (CP, CH), _NEG, jnp.float32)
-                        ref[b * CP:(b + 1) * CP, :] = tmp[
-                            b * CP:(b + 1) * CP, pl.ds(0, S)]
-
-                so_s[so_base + b] = ns
-                new_so.append(ns)
                 # live-span tracking (aligned-up exclusive end of written
                 # lanes) for the span-restricted permute/refresh gathers
-                hw = jnp.maximum(hiw_s[so_base + b] - d, 0)
                 wid = his[b] - los[b]
                 hiw_s[so_base + b] = jnp.where(
                     wid > 0,
                     jnp.maximum(
-                        hw, ((his[b] - ns + 127) // 128) * 128 + CH),
-                    hw)
+                        hiw_s[so_base + b],
+                        ((his[b] - new_so[b] + 127) // 128) * 128 + CH),
+                    hiw_s[so_base + b])
 
             ac0 = [pl.multiple_of((los[b] // 128) * 128, 128)
                    for b in range(B)]
@@ -825,6 +801,49 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
                       mx1s[:, :]))
 
+        # ---- storage eviction, block-scheduled: every RSHIFT steps shift
+        # each pair's window planes up to its current eviction anchor
+        # (columns below it are provably never read — see _plan_anchors).
+        # Between boundaries the live span grows by at most the window
+        # drift, which the host folds into Wst (_plan_spans). Uniform
+        # cadence keeps the per-step path free of conditional shift
+        # regions; the inner per-pair conditions run once per RSHIFT steps.
+        @pl.when(i % RSHIFT == RSHIFT - 1)
+        def _storage_shift():
+            for so_base, stx, psx, Sx, pso in ((0, st0, ps0, S0, pso0),
+                                               (B, st1, ps1, S1, pso1)):
+                for b in range(B):
+                    so_b = so_s[so_base + b]
+                    ns = pl.multiple_of(
+                        jnp.maximum(so_b, pso[b]), 128)
+                    d = pl.multiple_of(ns - so_b, 128)
+
+                    @pl.when(d != 0)
+                    def _shift(b=b, d=d, ns=ns, stx=stx, psx=psx, Sx=Sx,
+                               so_base=so_base):
+                        nblk = Sx // CH
+                        for ref in (stx, psx):
+                            for j in range(nblk):
+                                srcp = pl.multiple_of(j * CH + d, 128)
+
+                                @pl.when(srcp <= Sx - CH)
+                                def _cp(j=j, srcp=srcp, ref=ref, b=b):
+                                    tmp[b * CP:(b + 1) * CP,
+                                        j * CH:(j + 1) * CH] = ref[
+                                            b * CP:(b + 1) * CP,
+                                            pl.ds(srcp, CH)]
+
+                                @pl.when(srcp > Sx - CH)
+                                def _fl(j=j, ref=ref, b=b):
+                                    tmp[b * CP:(b + 1) * CP,
+                                        j * CH:(j + 1) * CH] = jnp.full(
+                                            (CP, CH), _NEG, jnp.float32)
+                            ref[b * CP:(b + 1) * CP, :] = tmp[
+                                b * CP:(b + 1) * CP, pl.ds(0, Sx)]
+                        so_s[so_base + b] = ns
+                        hiw_s[so_base + b] = jnp.maximum(
+                            hiw_s[so_base + b] - d, 0)
+
         # ---- scores: rows -> lanes bridge via transpose ----
         tot_r = mx0s[:, :] + mx1s[:, :]  # [BC, 1]
         colIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
@@ -962,13 +981,22 @@ def _plan_anchors(p: dict) -> tuple[np.ndarray, np.ndarray]:
 
 def _plan_spans(p: dict, sm0: np.ndarray, sm1: np.ndarray) -> tuple[int, int]:
     """Required live storage span per axis: max over sweeping steps of
-    (window hi - eviction anchor). The anchors rise inside split windows,
-    but the walk re-reads back into wide transposed-envelope columns, so
-    the span — not the capped window width — is what storage must hold."""
+    (window hi - storage offset). The storage offset at step t is the
+    eviction anchor at the last RSHIFT boundary before t (shifts are
+    block-scheduled), -128 before the first boundary. The anchors rise
+    inside split windows, but the walk re-reads back into wide
+    transposed-envelope columns, so this span — not the capped window
+    width — is what storage must hold."""
+    def blocked_base(sm: np.ndarray) -> np.ndarray:
+        base = np.full(len(sm), -128, np.int64)
+        for k0 in range(RSHIFT, len(sm), RSHIFT):
+            base[k0:k0 + RSHIFT] = sm[k0 - 1]
+        return np.maximum.accumulate(base)
+
     sw0 = (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"])
     sw1 = (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"])
-    s0 = int(np.where(sw0, p["a_hi"] - sm0, 0).max(initial=0))
-    s1 = int(np.where(sw1, p["b_hi"] - sm1, 0).max(initial=0))
+    s0 = int(np.where(sw0, p["a_hi"] - blocked_base(sm0), 0).max(initial=0))
+    s1 = int(np.where(sw1, p["b_hi"] - blocked_base(sm1), 0).max(initial=0))
     return s0, s1
 
 
@@ -1089,7 +1117,7 @@ def _traceback(words: np.ndarray, sco: np.ndarray, valid: np.ndarray,
 
 def pair_beam_pallas_batch(pairs, beam_width: int = 5,
                            alphabet: str = "ACGT",
-                           steps_per_grid: int = 1) -> list[str]:
+                           steps_per_grid: int = 2) -> list[str]:
     """Batched Pallas row_col pair beam search (plain CTC).
 
     pairs: list of (y1, y2, envelope). All pairs share one kernel launch;

@@ -53,7 +53,8 @@ def _best_of(fn, n=3):
 # stage-1..3 pipeline shared by the pair workloads (host side)
 # --------------------------------------------------------------------------
 
-def build_pair_workload(npy1: str, npy2: str, padding: int = 5):
+def build_pair_workload(npy1: str, npy2: str, padding: int = 5,
+                        with_alignment: bool = False):
     """Stages 1-3 of pair-decode: 1D viterbi, NW align, envelope."""
     from poreover_tpu.decoding import envelope as em
     from poreover_tpu.decoding.pair import get_sequence_mapping
@@ -72,6 +73,10 @@ def build_pair_workload(npy1: str, npy2: str, padding: int = 5):
     cols = em.get_alignment_columns(alignment)
     env = em.build_envelope(m1.log_prob, m2.log_prob, cols, s2s1, s2s2,
                             padding=padding)
+    if with_alignment:
+        return (m1.log_prob, m2.log_prob, env,
+                dict(alignment=alignment, s2s1=np.array(s2s1),
+                     s2s2=np.array(s2s2)))
     return m1.log_prob, m2.log_prob, env
 
 
@@ -79,6 +84,49 @@ def build_workload():
     """The bundled real pair (kept for scratch scripts / tests)."""
     return build_pair_workload(f"{DATA}/reads/read1.npy",
                                f"{DATA}/reads/read2.npy")
+
+
+def _aligned_identity(a: str, b: str) -> float:
+    from poreover_tpu import native
+
+    x, z = native.global_pair_banded(a, b)
+    return sum(c == d for c, d in zip(x, z)) / max(len(x), 1)
+
+
+def bench_reference_cpu(workloads) -> float | None:
+    """Time the REFERENCE implementation's own header-only C++ row_col
+    decoder (jordisr/poreover BeamSearch.h) single-core on the same pairs —
+    the literal 'single-core CPU PoreOver' of the BASELINE.md protocol.
+    Built on demand against the read-only reference headers."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    binp = os.path.join(repo, "native", "ref_baseline")
+    srcp = os.path.join(repo, "native", "ref_baseline.cpp")
+    try:
+        if not os.path.exists(binp) or (
+            os.path.getmtime(srcp) > os.path.getmtime(binp)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-std=c++14", "-I",
+                 "/root/reference/poreover", "-o", binp, srcp],
+                check=True, capture_output=True, timeout=300,
+            )
+        with tempfile.TemporaryDirectory() as td:
+            for i, (y1, y2, env) in enumerate(workloads):
+                np.array([len(y1), len(y2)], np.int64).tofile(
+                    f"{td}/dims_{i}.i64")
+                np.asarray(y1, np.float64).tofile(f"{td}/y1_{i}.f64")
+                np.asarray(y2, np.float64).tofile(f"{td}/y2_{i}.f64")
+                np.asarray(env, np.int64).tofile(f"{td}/env_{i}.i64")
+            t0 = time.perf_counter()
+            subprocess.run([binp, td, str(len(workloads))], check=True,
+                           capture_output=True, timeout=600)
+            return time.perf_counter() - t0
+    except Exception:
+        log("reference-C++ baseline unavailable (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+        return None
 
 
 # --------------------------------------------------------------------------
@@ -261,6 +309,7 @@ def bench_pair():
 
     # ---- assemble the pairs.txt workload; fall back to the bundled pair
     workloads = []
+    extras = []
     try:
         with open(f"{DATA}/pairs.txt") as f:
             pair_names = [line.split() for line in f if line.split()]
@@ -275,13 +324,20 @@ def bench_pair():
             for n1, n2 in pair_names:
                 s1 = os.path.splitext(n1)[0]
                 s2 = os.path.splitext(n2)[0]
-                workloads.append(build_pair_workload(npys[s1], npys[s2]))
+                *wl, ex = build_pair_workload(npys[s1], npys[s2],
+                                              with_alignment=True)
+                workloads.append(tuple(wl))
+                extras.append(ex)
             log(f"pair: built {len(workloads)} envelopes in "
                 f"{time.perf_counter()-t0:.1f}s")
     except Exception:
         log("pair: pairs.txt pipeline failed, using bundled read1/read2 pair")
         traceback.print_exc(file=sys.stderr)
-        workloads = [build_workload()]
+        *wl, ex = build_pair_workload(f"{DATA}/reads/read1.npy",
+                                      f"{DATA}/reads/read2.npy",
+                                      with_alignment=True)
+        workloads = [tuple(wl)]
+        extras = [ex]
 
     n_pairs = len(workloads)
     cells = sum(int(np.sum(env[:, 1] - env[:, 0])) for _, _, env in workloads)
@@ -360,19 +416,24 @@ def bench_pair():
     reads_per_s = 2.0 * n_pairs / tpu_time
     vs = cpu_time / tpu_time
 
+    # ---- the literal reference implementation, single core (BeamSearch.h
+    # header C++ timed directly; within ~7% of our reimplemented oracle)
+    cpu_ref = bench_reference_cpu(workloads)
+
     # ---- saturated throughput: the chip is latency-bound at B=5 (the
     # kernel is a sequential plan-step grid whose per-step cost is far
     # below the VPU/MXU roofline); reads/s/chip — the BASELINE.md
-    # north-star metric — is measured by replicating the same 5 pairs to
-    # a larger lockstep batch. Outputs are asserted identical to the
-    # unreplicated run, so the work per pair is unchanged.
+    # north-star metric — is measured by replicating the 5 pairs
+    # round-robin to a larger lockstep batch in ONE launch (the round-2
+    # B=20 attempt OOMed VMEM; the HBM emission rings fixed that).
+    # Outputs are asserted identical to the unreplicated run.
     sat = {}
     if engine == "pallas_batch":
         try:
             from poreover_tpu.ops.pallas_pair_beam_batch import (
                 pair_beam_pallas_batch,
             )
-            SAT_B = 20
+            SAT_B = 16
             reps = (SAT_B + n_pairs - 1) // n_pairs
             wl_sat = (workloads * reps)[:SAT_B]
             t0 = time.perf_counter()
@@ -410,14 +471,130 @@ def bench_pair():
         oracle_exact=f"{oracle_match}/{n_pairs}",
         trie_match=f"{n_match}/{n_pairs}",
         min_trie_identity=round(min(idents), 5),
+        # measurement provenance (VERDICT r2 item 9): what each stat
+        # compares against
+        baselines=dict(
+            cpu_s="native/pair_beam_cpu.cpp f64 UNBOUNDED trie "
+                  "(reference PrefixTree.h semantics, reimplemented)",
+            cpu_ref_s="the reference's own BeamSearch.h header C++, "
+                      "compiled from /root/reference (row_col, f64)",
+            oracle_exact="vs pair_beam_row_col_cpu_emul: f64 "
+                         "windowed-memo oracle (the TPU engines' intended "
+                         "semantics)",
+            trie_match="vs the unbounded trie (reference semantics)",
+        ),
+        **({"cpu_ref_s": round(cpu_ref, 3),
+            "vs_reference": round(cpu_ref / tpu_time, 3)}
+           if cpu_ref else {}),
         **sat,
     )
     log(f"pair[{engine}]: {n_pairs} pairs tpu={tpu_time:.2f}s "
-        f"cpu={cpu_time:.2f}s ({vs:.2f}x) "
+        f"cpu={cpu_time:.2f}s refC++={cpu_ref if cpu_ref else -1:.2f}s "
+        f"({vs:.2f}x) "
         f"oracle_exact={oracle_match}/{n_pairs} "
         f"trie_match={n_match}/{n_pairs} "
         f"min_trie_ident={min(idents):.4f} "
         f"{cells/tpu_time/1e6:.2f}M cells/s")
+
+    # ---- anchored fast mode (--skip_matches, the reference's own fast
+    # flag at its default threshold): boxes across all pairs become
+    # lockstep kernel lanes; CPU comparison runs the SAME anchored
+    # algorithm single-core (apples to apples), and the quality trade-off
+    # vs the full-envelope consensus is reported, not hidden.
+    try:
+        bench_pair_anchored(workloads, extras, seqs_cpu, cpu_time)
+    except Exception:
+        log("pair_fast (anchored) measurement FAILED (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+
+
+def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
+                        threshold: int = 10, wave_b: int = 16):
+    from poreover_tpu import native
+    from poreover_tpu.decoding.pair import anchored_box_workloads
+    from poreover_tpu.ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+
+    n_pairs = len(workloads)
+    flat = []      # (pair_idx, sort_key, (y1, y2, env))
+    anchors = []   # per pair: [(key, seq)]
+    for (y1, y2, env), ex in zip(workloads, extras):
+        bw, anc = anchored_box_workloads(
+            y1, y2, env, ex["alignment"], ex["s2s1"], ex["s2s2"],
+            matches=threshold)
+        if bw is None:
+            log("pair_fast: a pair has no anchors; skipping workload")
+            return
+        anchors.append(anc)
+        for (k, y1s, y2s, envs) in bw:
+            flat.append((len(anchors) - 1, k, (y1s, y2s, envs)))
+
+    order = sorted(range(len(flat)),
+                   key=lambda i: len(flat[i][2][0]) + len(flat[i][2][1]))
+    waves = [order[i:i + wave_b] for i in range(0, len(order), wave_b)]
+    log(f"pair_fast: thr={threshold} {len(flat)} boxes in {len(waves)} "
+        f"waves of {wave_b}")
+
+    def run_all():
+        out = {}
+        for sel in waves:
+            seqs = pair_beam_pallas_batch([flat[j][2] for j in sel],
+                                          beam_width=5)
+            for j, s in zip(sel, seqs):
+                out[j] = s
+        return out
+
+    t0 = time.perf_counter()
+    box_seqs = run_all()
+    warm = time.perf_counter() - t0
+    log(f"pair_fast: warm (incl compiles) {warm:.1f}s")
+    t0 = time.perf_counter()
+    box_seqs = run_all()
+    tpu_time = time.perf_counter() - t0
+
+    # CPU: the SAME anchored decomposition, single-core unbounded trie
+    t0 = time.perf_counter()
+    box_cpu = [native.pair_beam_row_col_cpu(*flat[j][2], beam_width=5)
+               for j in range(len(flat))]
+    cpu_time = time.perf_counter() - t0
+
+    def stitch(seq_of):
+        parts = [list(a) for a in anchors]
+        for j, (pi, k, _) in enumerate(flat):
+            parts[pi].append((k, seq_of(j)))
+        return ["".join(s for _, s in sorted(p)) for p in parts]
+
+    stitched = stitch(lambda j: box_seqs[j])
+    stitched_cpu = stitch(lambda j: box_cpu[j])
+    box_match = sum(box_seqs[j] == box_cpu[j] for j in range(len(flat)))
+    ident_full = [
+        _aligned_identity(s, f) for s, f in zip(stitched, seqs_full_cpu)]
+    ident_cpu = [
+        _aligned_identity(s, f) for s, f in zip(stitched, stitched_cpu)]
+
+    cells = sum(int(np.sum(e[:, 1] - e[:, 0])) for _, _, (_, _, e) in flat)
+    RESULTS["pair_fast"] = dict(
+        threshold=threshold, n_boxes=len(flat), n_pairs=n_pairs,
+        reads_per_s=round(2.0 * n_pairs / tpu_time, 3),
+        cells_per_s=round(cells / tpu_time, 1),
+        tpu_s=round(tpu_time, 3),
+        cpu_s=round(cpu_time, 3),
+        vs_baseline_same_mode=round(cpu_time / tpu_time, 3),
+        vs_full_cpu=round(cpu_full_s / tpu_time, 3),
+        box_trie_match=f"{box_match}/{len(flat)}",
+        min_identity_vs_cpu_anchored=round(min(ident_cpu), 5),
+        min_identity_vs_full=round(min(ident_full), 5),
+        baselines=dict(
+            cpu_s="SAME anchored boxes, unbounded trie single-core",
+            vs_full_cpu="against the full-envelope unbounded-trie time "
+                        "(different output: see min_identity_vs_full)",
+        ),
+    )
+    log(f"pair_fast[thr={threshold}]: {n_pairs} pairs {len(flat)} boxes "
+        f"tpu={tpu_time:.2f}s cpu_anchored={cpu_time:.2f}s "
+        f"({cpu_time/tpu_time:.1f}x same-mode, "
+        f"{cpu_full_s/tpu_time:.1f}x vs full-CPU) "
+        f"box_match={box_match}/{len(flat)} "
+        f"min_ident_vs_full={min(ident_full):.4f}")
 
 
 # --------------------------------------------------------------------------

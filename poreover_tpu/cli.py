@@ -130,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_pair.add_argument("--skip_matches", action="store_true")
     p_pair.add_argument("--skip_threshold", type=int, default=10)
     p_pair.add_argument(
+        "--exact", action="store_true",
+        help="reference-exact consensus: unbounded-memo trie semantics via "
+        "the graveyard engine (slower; see docs/EXACTNESS.md)")
+    p_pair.add_argument(
         "--beam_search_method",
         choices=["row", "row_col", "grid"],
         default="row_col",

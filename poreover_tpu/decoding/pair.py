@@ -114,6 +114,45 @@ def get_anchors(alignment, matches: int, indels: int):
     return anchor_ranges, anchor_type
 
 
+def anchored_box_workloads(y1, y2, envelope, alignment, s2s1, s2s2,
+                           matches: int = 10, indels: int = 100):
+    """Anchor/box decomposition for a prepared pair (the --skip_matches
+    machinery as a standalone function, reference pair_decode.py:412-452):
+    returns (box_workloads, anchors) where box_workloads are
+    (sort_key, y1_slice, y2_slice, env_slice) consensus problems between
+    anchors and anchors are (sort_key, sequence) taken verbatim from the
+    1D alignment. Returns (None, None) when no anchors exist."""
+    anchor_ranges, anchor_type = get_anchors(alignment, matches=matches,
+                                             indels=indels)
+    if not anchor_ranges:
+        return None, None
+    U, V = len(y1), len(y2)
+    a2s = np.zeros(alignment.shape, dtype=int)
+    for i, col in enumerate(alignment.T):
+        for s in range(2):
+            if col[s] == "-":
+                a2s[s, i] = a2s[s, i - 1]
+            else:
+                a2s[s, i] = a2s[s, i - 1] + 1
+    boxes, anchors = [], []
+    for i, (cs, ce) in enumerate(anchor_ranges):
+        if anchor_type[i] == "ins":
+            seq = "".join(alignment[1, cs:ce])
+        else:  # 'mat' and 'del' take read 1's letters
+            seq = "".join(alignment[0, cs:ce])
+        anchors.append((s2s1[a2s[0, cs]], seq))
+        if i > 0:
+            boxes.append((s2s1[a2s[0, anchor_ranges[i - 1][1]]],
+                          s2s1[a2s[0, cs]],
+                          s2s2[a2s[1, anchor_ranges[i - 1][1]]],
+                          s2s2[a2s[1, cs]]))
+        else:
+            boxes.append((0, s2s1[a2s[0, cs]], 0, s2s2[a2s[1, cs]]))
+    boxes.append((s2s1[a2s[0, anchor_ranges[-1][1]]], U,
+                  s2s2[a2s[1, anchor_ranges[-1][1]]], V))
+    return extract_box_workloads(y1, y2, envelope, boxes), anchors
+
+
 def extract_box_workloads(y1, y2, envelope, basecall_boxes):
     """Slice the per-pair consensus problem into independent anchor-box
     workloads (reference pair_decode.py:510-522 semantics): each box decodes
@@ -138,6 +177,18 @@ def _consensus_fn(args, kind: str):
     model_string = MODEL_STRING[kind]
 
     if args.algorithm == "beam":
+        if getattr(args, "exact", False):
+            # reference-exact mode: unbounded-memo semantics via the
+            # graveyard engine (see ops/beam2d_planned.EXACT_GRACE)
+            def fn(y1, y2, env):
+                from ..ops.beam2d_planned import beam_search_2d_planned
+
+                return beam_search_2d_planned(
+                    y1, y2, env, beam_width=args.beam_width,
+                    model=model_string, exact=True,
+                )
+
+            return fn
 
         def fn(y1, y2, env):
             from ..ops.beam2d import beam_search_2d
@@ -620,6 +671,7 @@ def _batchable(args, kind: str) -> bool:
         and kind == "poreover"
         and args.method == "envelope"
         and not getattr(args, "debug_envelope", False)
+        and not getattr(args, "exact", False)
         and args.threads > 1
     )
 

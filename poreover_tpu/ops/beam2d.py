@@ -472,7 +472,16 @@ def beam_search_2d(
         # global-memo trie is inherently scalar/sequential, so it runs as
         # an exact host-side implementation with the reference's own
         # quadratic cost. Guarded like the reference's pair-decode box
-        # memory cap (pair_decode.py:189-201).
+        # memory cap (pair_decode.py:189-201). NOT a silent fallback: the
+        # warning below names the host execution every time.
+        import logging
+
+        logging.getLogger("poreover_tpu").warning(
+            "method='grid' is the reference's deprecated per-cell-beam "
+            "benchmark control (BeamSearch2.h); it runs as an exact "
+            "HOST-side parity implementation, not on the TPU — use "
+            "method='row_col' for the accelerated path"
+        )
         if envelope is None:
             cells = U * V
         else:

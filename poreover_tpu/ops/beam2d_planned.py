@@ -400,10 +400,19 @@ def _refresh_psweep(fields_or_cand, storage, st_off, psweep, poff):
 
 
 @partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1",
-                                   "return_state"))
+                                   "return_state", "G", "grace"))
 def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
                   model_id: int, W: int, A: int, Wst0: int, Wst1: int,
-                  return_state: bool = False):
+                  return_state: bool = False, G: int = 0, grace: int = 1):
+    """G > 0 enables the eviction *graveyard* (reference-exact mode): a
+    node that falls out of the candidate table keeps its live memo for up
+    to ``grace - 1`` further prunes, and a re-discovered child resumes it
+    instead of restarting from -inf — the semantics of the reference's
+    unbounded per-node hashmaps (PrefixTree.h:74-148) up to the measured
+    graveyard depth (docs/EXACTNESS.md: grace=18 reproduces the trie on
+    the bundled pairs; capacity overflow evicts the oldest first).
+    Differentially pinned against native.pair_beam_row_col_cpu_emul_grace.
+    """
     C = W * (A + 1)
     dtype = y1.dtype
     pad = CHUNK + 2
@@ -436,24 +445,133 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
         sweep1=sweep1, psweep1=jnp.full((C, 2, Wst1), _NEG_INF, dtype),
         poff1=jnp.zeros((C,), itype), off1=jnp.asarray(0, itype),
     )
+    if G > 0:
+        cand0.update(
+            gk1=jnp.zeros((G,), jnp.uint32),
+            gk2=jnp.zeros((G,), jnp.uint32),
+            gage=jnp.zeros((G,), jnp.int32),
+            gvalid=jnp.zeros((G,), bool),
+            gsweep0=jnp.full((G, 2, Wst0), _NEG_INF, dtype),
+            gsweep1=jnp.full((G, 2, Wst1), _NEG_INF, dtype),
+        )
+
+    def _gy_pad(fields_arr, fill=0):
+        """Pad per-candidate field arrays with G inert graveyard rows for
+        the shared-storage sweep (their sweep_mask rows are False)."""
+        pad_row = jnp.full((G,) + fields_arr.shape[1:], fill,
+                           fields_arr.dtype)
+        return jnp.concatenate([fields_arr, pad_row])
+
+    def _gy_select(cand, fields):
+        """Graveyard maintenance at a MAIN step: pool = old-table rows that
+        fell out of the NEW table (absent=1) + old graveyard rows aged one
+        more prune; keep up to G youngest (eviction at age >= grace, and a
+        full graveyard evicts oldest first). Returns gathered rows."""
+        old_first = _dedup_mask(cand["k1"], cand["k2"], cand["valid"])
+
+        def in_new(k1, k2):
+            return _lookup_idx(
+                k1, k2, fields["k1"], fields["k2"], fields["valid"]) >= 0
+
+        cand_elig = old_first & ~in_new(cand["k1"], cand["k2"])
+        gy_age = cand["gage"] + 1
+        gy_elig = (cand["gvalid"] & ~in_new(cand["gk1"], cand["gk2"])
+                   & (gy_age < grace))
+        if grace <= 1:
+            cand_elig = cand_elig & False
+        pk1 = jnp.concatenate([cand["k1"], cand["gk1"]])
+        pk2 = jnp.concatenate([cand["k2"], cand["gk2"]])
+        page = jnp.concatenate(
+            [jnp.ones((C,), jnp.int32), gy_age])
+        pelig = jnp.concatenate([cand_elig, gy_elig])
+        skey = jnp.where(pelig, page, jnp.int32(1 << 30))
+        sel = jnp.argsort(skey)[:G]
+        sel_ok = skey[sel] < (1 << 30)
+        pool0 = jnp.concatenate([cand["sweep0"], cand["gsweep0"]])
+        pool1 = jnp.concatenate([cand["sweep1"], cand["gsweep1"]])
+        return dict(
+            gk1=jnp.where(sel_ok, pk1[sel], 0),
+            gk2=jnp.where(sel_ok, pk2[sel], 0),
+            gage=jnp.where(sel_ok, page[sel], 0),
+            gvalid=sel_ok,
+            gsweep0=jnp.where(sel_ok[:, None, None], pool0[sel], _NEG_INF),
+            gsweep1=jnp.where(sel_ok[:, None, None], pool1[sel], _NEG_INF),
+        )
+
+    def _gather_axis_storage_gy(cand, axis, beam_src, fields):
+        """_gather_axis_storage with the graveyard included in the
+        re-discovered-child memo lookup (live-memo resume semantics)."""
+        sweep = cand[f"sweep{axis}"]
+        gsweep = cand[f"gsweep{axis}"]
+        pool = jnp.concatenate([sweep, gsweep])
+        bsweep = sweep[beam_src]
+        ck1 = fields["k1"][W:]
+        ck2 = fields["k2"][W:]
+        child_idx = _lookup_idx(
+            ck1, ck2,
+            jnp.concatenate([cand["k1"], cand["gk1"]]),
+            jnp.concatenate([cand["k2"], cand["gk2"]]),
+            jnp.concatenate([cand["valid"], cand["gvalid"]]))
+        child_stale = jnp.where(
+            (child_idx >= 0)[:, None, None],
+            pool[jnp.maximum(child_idx, 0)],
+            _NEG_INF,
+        )
+        stale = jnp.concatenate([bsweep, child_stale])
+        psweep = jnp.concatenate(
+            [cand[f"psweep{axis}"][beam_src], jnp.repeat(bsweep, A, axis=0)]
+        )
+        poff = jnp.concatenate(
+            [cand[f"poff{axis}"][beam_src],
+             jnp.full((W * A,), 1, cand[f"poff{axis}"].dtype)
+             * cand[f"off{axis}"]]
+        )
+        return stale, psweep, poff
 
     def main_branch(cand, alo, ahi, blo, bhi):
         beam_src, fields = _expand_skeleton(cand, W, A)
-        stale0, psweep0, poff0 = _gather_axis_storage(cand, 0, beam_src, fields, W, A)
-        stale1, psweep1, poff1 = _gather_axis_storage(cand, 1, beam_src, fields, W, A)
+        if G > 0:
+            stale0, psweep0, poff0 = _gather_axis_storage_gy(
+                cand, 0, beam_src, fields)
+            stale1, psweep1, poff1 = _gather_axis_storage_gy(
+                cand, 1, beam_src, fields)
+            gy = _gy_select(cand, fields)
+            stale0 = jnp.concatenate([stale0, gy["gsweep0"]])
+            stale1 = jnp.concatenate([stale1, gy["gsweep1"]])
+        else:
+            stale0, psweep0, poff0 = _gather_axis_storage(
+                cand, 0, beam_src, fields, W, A)
+            stale1, psweep1, poff1 = _gather_axis_storage(
+                cand, 1, beam_src, fields, W, A)
 
+        def fargs(name, fill=0):
+            arr = fields[name]
+            return _gy_pad(arr, fill) if G > 0 else arr
+
+        sweep_mask = fargs("valid", False)
         st0, off0, max0 = _chunked_sweep(
             model_id, A, alo, ahi, y1_pad, cum1_pad, pad,
-            fields["k1"], fields["k2"], fields["pk1"], fields["pk2"],
-            fields["char"], fields["pchar"], fields["valid"],
-            stale0, cand["off0"], psweep0, poff0, Wst0, n_layers=NL,
+            fargs("k1"), fargs("k2"), fargs("pk1"), fargs("pk2"),
+            fargs("char"), fargs("pchar"), sweep_mask,
+            stale0, cand["off0"],
+            _gy_pad(psweep0, _NEG_INF) if G > 0 else psweep0,
+            _gy_pad(poff0) if G > 0 else poff0, Wst0, n_layers=NL,
         )
         st1, off1, max1 = _chunked_sweep(
             model_id, A, blo, bhi, y2_pad, cum2_pad, pad,
-            fields["k1"], fields["k2"], fields["pk1"], fields["pk2"],
-            fields["char"], fields["pchar"], fields["valid"],
-            stale1, cand["off1"], psweep1, poff1, Wst1, n_layers=NL,
+            fargs("k1"), fargs("k2"), fargs("pk1"), fargs("pk2"),
+            fargs("char"), fargs("pchar"), sweep_mask,
+            stale1, cand["off1"],
+            _gy_pad(psweep1, _NEG_INF) if G > 0 else psweep1,
+            _gy_pad(poff1) if G > 0 else poff1, Wst1, n_layers=NL,
         )
+        if G > 0:
+            gy["gsweep0"] = jnp.where(
+                gy["gvalid"][:, None, None], st0[C:], _NEG_INF)
+            gy["gsweep1"] = jnp.where(
+                gy["gvalid"][:, None, None], st1[C:], _NEG_INF)
+            st0, st1 = st0[:C], st1[:C]
+            max0, max1 = max0[:C], max1[:C]
         psweep0, poff0 = _refresh_psweep(fields, st0, off0, psweep0, poff0)
         psweep1, poff1 = _refresh_psweep(fields, st1, off1, psweep1, poff1)
         score = jnp.where(fields["valid"], max0 + max1, _NEG_INF)
@@ -463,6 +581,8 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
             sweep0=st0, psweep0=psweep0, poff0=poff0, off0=off0,
             sweep1=st1, psweep1=psweep1, poff1=poff1, off1=off1,
         )
+        if G > 0:
+            new_cand.update(gy)
         return new_cand, beam_src
 
     def run_branch(cand, axis, lo, hi):
@@ -481,17 +601,33 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
 
         y_pad, cum_pad = (y1_pad, cum1_pad) if axis == 0 else (y2_pad, cum2_pad)
         Wst = Wst0 if axis == 0 else Wst1
+
+        def carg(name, fill=0):
+            arr = cand[name]
+            return _gy_pad(arr, fill) if G > 0 else arr
+
+        storage = cand[f"sweep{axis}"]
+        if G > 0:
+            storage = jnp.concatenate([storage, cand[f"gsweep{axis}"]])
         st, off, _mx = _chunked_sweep(
             model_id, A, lo, hi, y_pad, cum_pad, pad,
-            cand["k1"], cand["k2"], cand["pk1"], cand["pk2"],
-            cand["char"], cand["pchar"], sel,
-            cand[f"sweep{axis}"], cand[f"off{axis}"],
-            cand[f"psweep{axis}"], cand[f"poff{axis}"], Wst, n_layers=NL,
+            carg("k1"), carg("k2"), carg("pk1"), carg("pk2"),
+            carg("char"), carg("pchar"),
+            _gy_pad(sel, False) if G > 0 else sel,
+            storage, cand[f"off{axis}"],
+            (_gy_pad(cand[f"psweep{axis}"], _NEG_INF)
+             if G > 0 else cand[f"psweep{axis}"]),
+            _gy_pad(cand[f"poff{axis}"]) if G > 0 else cand[f"poff{axis}"],
+            Wst, n_layers=NL,
         )
+        new_cand = dict(cand)
+        if G > 0:
+            new_cand[f"gsweep{axis}"] = jnp.where(
+                cand["gvalid"][:, None, None], st[C:], _NEG_INF)
+            st = st[:C]
         psweep, poff = _refresh_psweep(
             cand, st, off, cand[f"psweep{axis}"], cand[f"poff{axis}"]
         )
-        new_cand = dict(cand)
         new_cand[f"sweep{axis}"] = st
         new_cand[f"off{axis}"] = off
         new_cand[f"psweep{axis}"] = psweep
@@ -570,22 +706,24 @@ def debug_state_after(y1, y2, envelope, n_steps=None, beam_width=5,
     return {k: np.asarray(v) for k, v in final.items()}
 
 
-@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1"))
+@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1",
+                                   "G", "grace"))
 def _planned_scan_batch(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
-                        model_id: int, W: int, A: int, Wst0: int, Wst1: int):
+                        model_id: int, W: int, A: int, Wst0: int, Wst1: int,
+                        G: int = 0, grace: int = 1):
     """vmap of _planned_scan over a leading batch axis (reads/s throughput
     path: many pairs per chip, the TPU equivalent of the reference's
     per-pair multiprocessing Pool — reference pair_decode.py:292-297)."""
     return jax.vmap(
         lambda a, b, c, d, e, f, g: _planned_scan(
             a, b, c, d, e, f, g, model_id=model_id, W=W, A=A,
-            Wst0=Wst0, Wst1=Wst1,
+            Wst0=Wst0, Wst1=Wst1, G=G, grace=grace,
         )
     )(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi)
 
 
 def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
-                                 model="ctc") -> list[str]:
+                                 model="ctc", exact: bool = False) -> list[str]:
     """Batched plan-driven row_col pair beam search.
 
     pairs: list of (y1, y2, envelope). Pads plans (zero-width catch-runs),
@@ -638,10 +776,11 @@ def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
     y2b = jnp.asarray(np.stack([pady(p[1], T2) for p in pairs]), dtype)
     stack = lambda k: jnp.asarray(np.stack([p[k] for p in plans]))
 
+    G, grace = (EXACT_G, EXACT_GRACE) if exact else (0, 1)
     first_char, chars = _planned_scan_batch(
         y1b, y2b, stack("type"), stack("a_lo"), stack("a_hi"),
         stack("b_lo"), stack("b_hi"),
-        model_id, beam_width, A, Wst0, Wst1,
+        model_id, beam_width, A, Wst0, Wst1, G=G, grace=grace,
     )
     first_char = np.asarray(first_char)
     chars = np.asarray(chars)
@@ -652,9 +791,19 @@ def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
     return out
 
 
+# reference-exact mode defaults: docs/EXACTNESS.md measured grace=18 /
+# ~100 graveyard nodes recovering the unbounded-trie output on the bundled
+# pairs; 20/128 adds safety margin
+EXACT_GRACE = 20
+EXACT_G = 128
+
+
 def beam_search_2d_planned(y1, y2, envelope, beam_width=5, alphabet="ACGT",
-                           model="ctc") -> str:
-    """Plan-driven row_col pair beam search (fast path)."""
+                           model="ctc", exact: bool = False) -> str:
+    """Plan-driven row_col pair beam search (fast path).
+
+    ``exact=True`` enables the eviction graveyard (reference unbounded-memo
+    semantics up to the measured grace depth) at ~G/C extra state."""
     y1 = np.asarray(y1)
     y2 = np.asarray(y2)
     U, V = len(y1), len(y2)
@@ -672,13 +821,14 @@ def beam_search_2d_planned(y1, y2, envelope, beam_width=5, alphabet="ACGT",
     Wst0 = int(max(w0.max(), 1)) + 2
     Wst1 = int(max(w1.max(), 1)) + 2
 
+    G, grace = (EXACT_G, EXACT_GRACE) if exact else (0, 1)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     first_char, chars = _planned_scan(
         jnp.asarray(y1, dtype), jnp.asarray(y2, dtype),
         jnp.asarray(plan["type"]), jnp.asarray(plan["a_lo"]),
         jnp.asarray(plan["a_hi"]), jnp.asarray(plan["b_lo"]),
         jnp.asarray(plan["b_hi"]),
-        model_id, beam_width, A, Wst0, Wst1,
+        model_id, beam_width, A, Wst0, Wst1, G=G, grace=grace,
     )
     out = [int(first_char)] + [int(c) for c in np.asarray(chars)]
     return "".join(alphabet[c] for c in out if c >= 0)

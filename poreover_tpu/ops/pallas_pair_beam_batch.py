@@ -287,17 +287,19 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         sco = SCO[:, :]
 
         avail = val > 0
-        win = jnp.full((PB, LN), -1, jnp.int32)
         wmatch = jnp.zeros((PB, LN), jnp.float32)
-        wk1 = jnp.zeros((PB, LN), jnp.int32)
-        wk2 = jnp.zeros((PB, LN), jnp.int32)
-        wpk1 = jnp.zeros((PB, LN), jnp.int32)
-        wpk2 = jnp.zeros((PB, LN), jnp.int32)
-        wch = jnp.zeros((PB, LN), jnp.int32)
-        wpch = jnp.full((PB, LN), -1, jnp.int32)
-        wokv = jnp.zeros((PB, LN), jnp.int32)
 
+        # winner selection: the loop keeps only what the next iteration
+        # needs (masked max -> first lane -> avail update); winner fields
+        # come out as [PB, 1] per-w columns saved in Python lists and are
+        # placed into the W*A child layout in one pass below — the previous
+        # per-iteration full-lane scatter + from_w re-gather double hop
+        # measured ~30us/step at B=16. ch/pch are tiny ints picked as ONE
+        # packed masked sum.
         BIG = jnp.int32(LN + 1)
+        chpack = chs | ((pchs + 1) << 8)
+        firsts, hass, kw1s, kw2s, pk1s, pk2s, cps = (
+            [], [], [], [], [], [], [])
         for w in range(W):
             s_m = jnp.where(avail, sco, _NEG)
             has = jnp.max(jnp.where(avail, 1.0, 0.0), axis=1,
@@ -314,17 +316,14 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             kw2 = pick(k2)
             keq = (k1 == kw1) & (k2 == kw2)
             wmatch = jnp.where(keq & (val > 0) & has, 1.0, wmatch)
-            avail = avail & ((k1 != kw1) | (k2 != kw2))
-
-            wl = lane == w
-            win = jnp.where(wl, jnp.where(has, first, -1), win)
-            wokv = jnp.where(wl, jnp.where(has, 1, 0), wokv)
-            wk1 = jnp.where(wl, kw1, wk1)
-            wk2 = jnp.where(wl, kw2, wk2)
-            wpk1 = jnp.where(wl, pick(pk1), wpk1)
-            wpk2 = jnp.where(wl, pick(pk2), wpk2)
-            wch = jnp.where(wl, pick(chs), wch)
-            wpch = jnp.where(wl, pick(pchs), wpch)
+            avail = avail & ~keq
+            firsts.append(first)
+            hass.append(has)
+            kw1s.append(kw1)
+            kw2s.append(kw2)
+            pk1s.append(pick(pk1))
+            pk2s.append(pick(pk2))
+            cps.append(pick(chpack))
 
         # ==================================================================
         # MAIN new table (lane layout), merged with unchanged run table
@@ -334,21 +333,26 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         is_stay = lane < W
         is_child = (lane >= W) & (lane < C)
 
-        def from_w(xw, default=0):
-            out = jnp.full((PB, LN), default, xw.dtype)
-            for w in range(W):
-                xv = jnp.sum(jnp.where(lane == w, xw, 0), axis=1,
-                             keepdims=True)
-                out = jnp.where(wofj == w, xv, out)
-            return out
-
-        pw_k1 = from_w(wk1)
-        pw_k2 = from_w(wk2)
-        pw_pk1 = from_w(wpk1)
-        pw_pk2 = from_w(wpk2)
-        pw_ch = from_w(wch)
-        pw_pch = from_w(wpch)
-        pw_ok = from_w(wokv) > 0
+        pw_k1 = jnp.zeros((PB, LN), jnp.int32)
+        pw_k2 = jnp.zeros((PB, LN), jnp.int32)
+        pw_pk1 = jnp.zeros((PB, LN), jnp.int32)
+        pw_pk2 = jnp.zeros((PB, LN), jnp.int32)
+        pw_cp = jnp.zeros((PB, LN), jnp.int32)
+        pw_oki = jnp.zeros((PB, LN), jnp.int32)
+        pw_src = jnp.zeros((PB, LN), jnp.int32)
+        for w in range(W):
+            sel = wofj == w
+            selok = sel & hass[w]
+            pw_k1 = jnp.where(sel, kw1s[w], pw_k1)
+            pw_k2 = jnp.where(sel, kw2s[w], pw_k2)
+            pw_pk1 = jnp.where(sel, pk1s[w], pw_pk1)
+            pw_pk2 = jnp.where(sel, pk2s[w], pw_pk2)
+            pw_cp = jnp.where(sel, cps[w], pw_cp)
+            pw_oki = jnp.where(selok, 1, pw_oki)
+            pw_src = jnp.where(selok, firsts[w], pw_src)
+        pw_ch = pw_cp & 255
+        pw_pch = (pw_cp >> 8) - 1
+        pw_ok = pw_oki > 0
 
         ck1 = pw_k1 * _M1 + (cofj + 1)
         ck2 = pw_k2 * _M2 + (cofj + 1)
@@ -409,14 +413,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         stay_r = rslot < W
         child_r = (rslot >= W) & (rslot < C)
         wofj_r = jnp.where(child_r, (rslot - W) // A, rslot)
-        pw_src_r = jnp.sum(
-            jnp.where(laneB == wofj_r, jnp.maximum(rep_rows(win), 0), 0),
-            axis=1, keepdims=True)
+        pw_src_r = to_rows(pw_src)
         # 0/1 int masks throughout: Mosaic cannot lower selects between
         # i1-valued vectors (arith.trunci i8->i1)
-        pw_ok_r = jnp.sum(
-            jnp.where(laneB == wofj_r, rep_rows(wokv), 0),
-            axis=1, keepdims=True)  # int32 0/1
+        pw_ok_r = to_rows(pw_oki)  # int32 0/1
 
         # stale-row source: stay rows <- winner slot; child rows <- first
         # OLD slot holding the child key (if any)
@@ -668,14 +668,22 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                     pv = jnp.where(pswept_r > 0, parsh, ext)
                     E = jnp.where(in_m > 0, pv + em, _NEG)
                     X = E - cg
-                    run = X
+                    # prefix-logsumexp in linear space: ONE exp/log pair
+                    # around a plain prefix-sum doubling chain instead of a
+                    # logaddexp (6-op) chain per level. The row max M keeps
+                    # exp in range; terms below f32 epsilon of the running
+                    # sum underflow to 0 exactly as they would round away
+                    # in the logaddexp chain.
+                    M = jnp.maximum(
+                        jnp.max(X, axis=1, keepdims=True), sd)
+                    e = jnp.exp(X - M)
+                    run = e
                     sh = 1
                     while sh < CH:
-                        prev = jnp.where(liC >= sh, pltpu.roll(run, sh, 1),
-                                         _NEG)
-                        run = jnp.logaddexp(run, prev)
+                        run = run + jnp.where(
+                            liC >= sh, pltpu.roll(run, sh, 1), 0.0)
                         sh *= 2
-                    pfull = cg + jnp.logaddexp(run, sd)
+                    pfull = cg + M + jnp.log(run + jnp.exp(sd - M))
                     return jnp.where(in_m > 0, pfull, _NEG)
 
                 # iteration 0: the input m is the _NEG splat, so the gather
@@ -879,7 +887,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         packed = scal_vec([jnp.minimum(s, 3) for s in stype], C0RUN,
                           jnp.int32)
         for w in range(W):
-            wv = jnp.sum(jnp.where(lane == w, win, 0), axis=1, keepdims=True)
+            wv = jnp.where(hass[w], firsts[w], -1)  # [PB, 1]
             packed = packed | ((wv + 1) << (2 + 6 * w))
         pv_s[:, :] = jnp.where(lane == i % 128, packed, pv_s[:, :])
 

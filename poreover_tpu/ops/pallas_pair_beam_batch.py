@@ -668,22 +668,14 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                     pv = jnp.where(pswept_r > 0, parsh, ext)
                     E = jnp.where(in_m > 0, pv + em, _NEG)
                     X = E - cg
-                    # prefix-logsumexp in linear space: ONE exp/log pair
-                    # around a plain prefix-sum doubling chain instead of a
-                    # logaddexp (6-op) chain per level. The row max M keeps
-                    # exp in range; terms below f32 epsilon of the running
-                    # sum underflow to 0 exactly as they would round away
-                    # in the logaddexp chain.
-                    M = jnp.maximum(
-                        jnp.max(X, axis=1, keepdims=True), sd)
-                    e = jnp.exp(X - M)
-                    run = e
+                    run = X
                     sh = 1
                     while sh < CH:
-                        run = run + jnp.where(
-                            liC >= sh, pltpu.roll(run, sh, 1), 0.0)
+                        prev = jnp.where(liC >= sh, pltpu.roll(run, sh, 1),
+                                         _NEG)
+                        run = jnp.logaddexp(run, prev)
                         sh *= 2
-                    pfull = cg + M + jnp.log(run + jnp.exp(sd - M))
+                    pfull = cg + jnp.logaddexp(run, sd)
                     return jnp.where(in_m > 0, pfull, _NEG)
 
                 # iteration 0: the input m is the _NEG splat, so the gather

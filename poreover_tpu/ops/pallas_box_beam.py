@@ -1,0 +1,920 @@
+"""Segmented box-batch Pallas kernel: many anchor-box consensus decodes
+per launch, several boxes per lane, fully pair-vectorized.
+
+This is the throughput engine behind the anchored (``--skip_matches``)
+pair-decode mode (reference pair_decode.py:412-452 splits the lattice at
+match anchors and stitches the box decodes). Anchor boxes are small — on
+real reads the median plan is ~128 steps and the median envelope width
+~55 columns — so the per-box sequential chain is short and the
+parallelism axis is *boxes*, not pairs: hundreds of boxes pack into one
+kernel launch, each lane running its boxes back-to-back.
+
+Differences from ops/pallas_pair_beam_batch.py (the general lockstep
+kernel, same step semantics):
+
+- **No per-pair scalar control anywhere.** The general kernel unrolls
+  ``for b in range(B)`` host loops for plan scalars, chunk origins, ring
+  DMAs and eviction shifts; its per-step cost grows ~linearly in B
+  (measured ~9 us/pair/step) and compile time explodes (100 s at B=32).
+  Here every per-pair quantity lives in [B, 1] vectors extracted from a
+  VMEM plan block with masked reduces; storage eviction is a vectorized
+  chunk-select shift; emission alignment is a per-block chunk-select
+  re-base. Per-step instruction count — and compile time — is
+  independent of B.
+- **Segmented lanes.** A lane's plan is the concatenation of its boxes'
+  plans, each padded to a 128-step block; plan row 7 flags a reset at
+  the first column of a box (rows 5/6 of that column carry the new
+  storage origins). Resets re-init the lane's candidate planes and
+  storage exactly like the t=0 init, masked per pair.
+- **FIN steps instead of score outputs.** Each box plan ends with one
+  zero-width MAIN step: its winner-0 provenance slot IS the argmax
+  candidate of the final table, so the traceback needs only the packed
+  provenance words — no SCO/VAL device->host fetch (the tunnel's D2H is
+  the slowest link at ~11-19 MB/s).
+- **Static geometry.** Storage is a fixed [BC, S=768] strip per axis;
+  box envelopes are narrow (split-capped at 256 columns) and the
+  block-scheduled shift keeps the live span under S. Boxes whose
+  planned span exceeds the cap are returned to the caller to route
+  through the general kernel.
+
+Bit-exactness: chunk boundaries sit on absolute 128-column grids in
+both kernels (storage origins and box emission bases are 128-aligned),
+so the f32 logaddexp chain association order — and therefore the output
+— matches the general kernel and the XLA planned engine exactly.
+
+Reference semantics: BeamSearch.h:262-397 row_col walk over
+PrefixTree.h:492-540 2D CTC nodes, windowed-memo table semantics (see
+native/pair_beam_cpu.cpp emulate mode). Plain CTC ("poreover") only.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_pair_beam_batch import (
+    _NEG, _M1, _M2, MAIN, C0RUN, C1RUN, CONT0, CONT1, RSHIFT,
+    _split3, _dotb, _gather, _gather_f32, _split_wide, _plan_anchors,
+    _plan_spans,
+)
+
+CH = 128
+S = 768            # storage strip width per axis (6 chunks)
+SMAX = S - 2 * CH  # max planned live span a box may need
+NB = S // CH
+
+
+def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
+                  NTOT: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = W * (A + 1)
+    CP = 32
+    assert C <= CP and B % 8 == 0
+    PB = B
+    BC = B * CP
+    LAYERS = W + 1
+    WF = S - CH
+    LN = 128
+
+    def kernel(y1_ref, y2_ref, plan_ref, prov_ref,
+               st0, ps0, st1, ps1,
+               K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+               ohP, ohFro, ohG, ohG2,
+               seeds, mx0s, mx, mx1s,
+               so0_v, so1_v, hw0_v, hw1_v,
+               es0, es1, yr0, yr1,
+               plan_v, pv_s, dma_sem):
+        for _k in range(K):
+            _step_body(pl.program_id(0) * K + _k,
+                       y1_ref, y2_ref, plan_ref, prov_ref,
+                       st0, ps0, st1, ps1,
+                       K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+                       ohP, ohFro, ohG, ohG2,
+                       seeds, mx0s, mx, mx1s,
+                       so0_v, so1_v, hw0_v, hw1_v,
+                       es0, es1, yr0, yr1,
+                       plan_v, pv_s, dma_sem)
+
+    def _step_body(i, y1_ref, y2_ref, plan_ref, prov_ref,
+                   st0, ps0, st1, ps1,
+                   K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
+                   ohP, ohFro, ohG, ohG2,
+                   seeds, mx0s, mx, mx1s,
+                   so0_v, so1_v, hw0_v, hw1_v,
+                   es0, es1, yr0, yr1,
+                   plan_v, pv_s, dma_sem):
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
+        laneS = jax.lax.broadcasted_iota(jnp.int32, (B, LN), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (BC, 1), 0)
+        rblk = rr // CP
+        rslot = rr - rblk * CP
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 1)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 0)
+        cloc = (crow % 128) // CP * CP
+
+        def vrows(x):
+            # [B, 1] -> [BC, 1]
+            return jnp.repeat(x, CP, axis=0)
+
+        def vlan(x):
+            # [B, 1] -> [PB, LN]
+            return jnp.broadcast_to(x, (PB, LN))
+
+        pb = pl.multiple_of((i // 128) * 128, 128)
+        pcol = i - pb
+
+        @pl.when(pcol == 0)
+        def _load_plan():
+            cp = pltpu.make_async_copy(
+                plan_ref.at[:, pl.ds(pb, 128)], plan_v, dma_sem.at[0])
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == 0)
+        def _load_rings():
+            cp0 = pltpu.make_async_copy(y1_ref, yr0, dma_sem.at[1])
+            cp1 = pltpu.make_async_copy(y2_ref, yr1, dma_sem.at[2])
+            cp0.start()
+            cp1.start()
+            cp0.wait()
+            cp1.wait()
+
+        def pv(p):
+            return jnp.sum(
+                jnp.where(laneS == pcol, plan_v[p * B:(p + 1) * B, :], 0),
+                axis=1, keepdims=True)
+
+        stype_v = pv(0)
+        alo_v = pv(1)
+        ahi_v = pv(2)
+        blo_v = pv(3)
+        bhi_v = pv(4)
+        pso0_v = pv(5)
+        pso1_v = pv(6)
+
+        # ------------------------------------------------------------------
+        # block start: segmented resets + emission strip re-base
+        # ------------------------------------------------------------------
+        def _strip_refresh(es, yr, so_v, R):
+            # es[:, j] := yr[:, so + j]; so is a multiple of 128 and may be
+            # negative (box start: so = base - 128) — chunks with no ring
+            # source fill _NEG (always masked by the window tests).
+            sd = jnp.concatenate([so_v // 128] * 6, axis=0)  # [6B, 1]
+            for c in range(NB):
+                acc = jnp.full((6 * B, CH), _NEG, jnp.float32)
+                for k in range(R // CH):
+                    acc = jnp.where(sd + c == k,
+                                    yr[:, k * CH:(k + 1) * CH], acc)
+                es[:, c * CH:(c + 1) * CH] = acc
+
+        @pl.when(pcol == 0)
+        def _block_start():
+            reset_v = pv(7)
+            rs_r = vrows(reset_v) > 0
+            rs_l = vlan(reset_v) > 0
+            nso0 = jnp.where(reset_v > 0, pso0_v, so0_v[:, :])
+            nso1 = jnp.where(reset_v > 0, pso1_v, so1_v[:, :])
+            so0_v[:, :] = nso0
+            so1_v[:, :] = nso1
+            hw0_v[:, :] = jnp.where(reset_v > 0, 2 * CH, hw0_v[:, :])
+            hw1_v[:, :] = jnp.where(reset_v > 0, 2 * CH, hw1_v[:, :])
+            _strip_refresh(es0, yr0, nso0, L1)
+            _strip_refresh(es1, yr1, nso1, L2)
+            # storage wipe + t=0 seed column (strip col 128 == box t0)
+            for stx, psx, esx in ((st0, ps0, es0), (st1, ps1, es1)):
+                y0 = jnp.full((BC, 1), _NEG, jnp.float32)
+                for c in range(A):
+                    y0 = jnp.where(
+                        rslot == c,
+                        vrows(esx[c * B:(c + 1) * B, CH:CH + 1]), y0)
+                wiped = jnp.where(rs_r, _NEG, stx[:, :])
+                stx[:, :] = wiped
+                stx[:, CH:CH + 1] = jnp.where(
+                    rs_r & (rslot < A), y0, wiped[:, CH:CH + 1])
+                psx[:, :] = jnp.where(rs_r, _NEG, psx[:, :])
+            slot_ok = lane < A
+            K1[:, :] = jnp.where(rs_l, jnp.where(slot_ok, lane + 1, 0),
+                                 K1[:, :])
+            K2[:, :] = jnp.where(rs_l, jnp.where(slot_ok, lane + 1, 0),
+                                 K2[:, :])
+            PK1[:, :] = jnp.where(rs_l, 0, PK1[:, :])
+            PK2[:, :] = jnp.where(rs_l, 0, PK2[:, :])
+            CHR[:, :] = jnp.where(rs_l, jnp.where(slot_ok, lane, 0),
+                                  CHR[:, :])
+            PCH[:, :] = jnp.where(rs_l, -1, PCH[:, :])
+            VAL[:, :] = jnp.where(rs_l, jnp.where(slot_ok, 1.0, 0.0),
+                                  VAL[:, :])
+            SCO[:, :] = jnp.where(rs_l, jnp.where(slot_ok, 0.0, _NEG),
+                                  SCO[:, :])
+            mx0s[:, :] = jnp.where(rs_r, _NEG, mx0s[:, :])
+            mx1s[:, :] = jnp.where(rs_r, _NEG, mx1s[:, :])
+
+        is_main = vlan(jnp.where(stype_v == MAIN, 1.0, 0.0))
+        is_swall = vlan(jnp.where((stype_v == MAIN) | (stype_v >= CONT0),
+                                  1.0, 0.0))
+        is_main_r = vrows(jnp.where(stype_v == MAIN, 1.0, 0.0))
+        c0cont_r = vrows(jnp.where(stype_v == CONT0, 1.0, 0.0))
+        c1cont_r = vrows(jnp.where(stype_v == CONT1, 1.0, 0.0))
+
+        # ==================================================================
+        # winner selection (identical to the general kernel)
+        # ==================================================================
+        k1 = K1[:, :]
+        k2 = K2[:, :]
+        pk1 = PK1[:, :]
+        pk2 = PK2[:, :]
+        chs = CHR[:, :]
+        pchs = PCH[:, :]
+        val = VAL[:, :]
+        sco = SCO[:, :]
+
+        avail = val > 0
+        wmatch = jnp.zeros((PB, LN), jnp.float32)
+        BIG = jnp.int32(LN + 1)
+        chpack = chs | ((pchs + 1) << 8)
+        firsts, hass, kw1s, kw2s, pk1s, pk2s, cps = (
+            [], [], [], [], [], [], [])
+        for w in range(W):
+            s_m = jnp.where(avail, sco, _NEG)
+            has = jnp.max(jnp.where(avail, 1.0, 0.0), axis=1,
+                          keepdims=True) > 0
+            m = jnp.max(s_m, axis=1, keepdims=True)
+            at_m = avail & (s_m == m)
+            first = jnp.min(jnp.where(at_m, lane, BIG), axis=1,
+                            keepdims=True)
+            oh_w = lane == first
+
+            def pick(x):
+                return jnp.sum(jnp.where(oh_w, x, 0), axis=1, keepdims=True)
+
+            kw1 = pick(k1)
+            kw2 = pick(k2)
+            keq = (k1 == kw1) & (k2 == kw2)
+            wmatch = jnp.where(keq & (val > 0) & has, 1.0, wmatch)
+            avail = avail & ~keq
+            firsts.append(first)
+            hass.append(has)
+            kw1s.append(kw1)
+            kw2s.append(kw2)
+            pk1s.append(pick(pk1))
+            pk2s.append(pick(pk2))
+            cps.append(pick(chpack))
+
+        # ==================================================================
+        # MAIN new table (lane layout)
+        # ==================================================================
+        wofj = jnp.where(lane >= W, (lane - W) // A, lane)
+        cofj = jnp.where((lane >= W) & (lane < C), (lane - W) % A, 0)
+        is_stay = lane < W
+        is_child = (lane >= W) & (lane < C)
+
+        pw_k1 = jnp.zeros((PB, LN), jnp.int32)
+        pw_k2 = jnp.zeros((PB, LN), jnp.int32)
+        pw_pk1 = jnp.zeros((PB, LN), jnp.int32)
+        pw_pk2 = jnp.zeros((PB, LN), jnp.int32)
+        pw_cp = jnp.zeros((PB, LN), jnp.int32)
+        pw_oki = jnp.zeros((PB, LN), jnp.int32)
+        pw_src = jnp.zeros((PB, LN), jnp.int32)
+        for w in range(W):
+            sel = wofj == w
+            selok = sel & hass[w]
+            pw_k1 = jnp.where(sel, kw1s[w], pw_k1)
+            pw_k2 = jnp.where(sel, kw2s[w], pw_k2)
+            pw_pk1 = jnp.where(sel, pk1s[w], pw_pk1)
+            pw_pk2 = jnp.where(sel, pk2s[w], pw_pk2)
+            pw_cp = jnp.where(sel, cps[w], pw_cp)
+            pw_oki = jnp.where(selok, 1, pw_oki)
+            pw_src = jnp.where(selok, firsts[w], pw_src)
+        pw_ch = pw_cp & 255
+        pw_pch = (pw_cp >> 8) - 1
+        pw_ok = pw_oki > 0
+
+        ck1 = pw_k1 * _M1 + (cofj + 1)
+        ck2 = pw_k2 * _M2 + (cofj + 1)
+
+        nk1 = jnp.where(is_stay, pw_k1, jnp.where(is_child, ck1, 0))
+        nk2 = jnp.where(is_stay, pw_k2, jnp.where(is_child, ck2, 0))
+        npk1 = jnp.where(is_stay, pw_pk1, jnp.where(is_child, pw_k1, 0))
+        npk2 = jnp.where(is_stay, pw_pk2, jnp.where(is_child, pw_k2, 0))
+        nch = jnp.where(is_stay, pw_ch, jnp.where(is_child, cofj, 0))
+        npch = jnp.where(is_stay, pw_pch, jnp.where(is_child, pw_ch, -1))
+        nval = jnp.where((is_stay | is_child) & pw_ok, 1.0, 0.0)
+
+        im = is_main > 0
+        fk1 = jnp.where(im, nk1, k1)
+        fk2 = jnp.where(im, nk2, k2)
+        fpk1 = jnp.where(im, npk1, pk1)
+        fpk2 = jnp.where(im, npk2, pk2)
+        fch = jnp.where(im, nch, chs)
+        fpch = jnp.where(im, npch, pchs)
+        fval = jnp.where(im, nval, val)
+        K1[:, :] = fk1
+        K2[:, :] = fk2
+        PK1[:, :] = fpk1
+        PK2[:, :] = fpk2
+        CHR[:, :] = fch
+        PCH[:, :] = fpch
+        VAL[:, :] = fval
+
+        sa = is_swall > 0
+        swept_f = jnp.where(sa, fval, wmatch * jnp.where(val > 0, 1.0, 0.0))
+        swept = swept_f > 0
+
+        laneB = jax.lax.broadcasted_iota(jnp.int32, (BC, LN), 1)
+        BIGL = jnp.int32(LN + 1)
+
+        def rep_rows(x):
+            return jnp.repeat(x[:B], CP, axis=0)
+
+        def to_rows(x, default=0):
+            return jnp.sum(
+                jnp.where(laneB == rslot, rep_rows(x), default),
+                axis=1, keepdims=True)
+
+        im_r = is_main_r > 0
+        stay_r = rslot < W
+        child_r = (rslot >= W) & (rslot < C)
+        pw_src_r = to_rows(pw_src)
+        pw_ok_r = to_rows(pw_oki)
+
+        m_old = ((rep_rows(k1) == to_rows(nk1))
+                 & (rep_rows(k2) == to_rows(nk2))
+                 & (rep_rows(val) > 0))
+        old_hit_r = jnp.min(jnp.where(m_old, laneB, BIGL), axis=1,
+                            keepdims=True)
+        oldhit_ok_i = jnp.where(old_hit_r < BIGL, 1, 0)
+        nval_i = jnp.where(stay_r | child_r, pw_ok_r, 0)
+        hsm_i = jnp.where(stay_r, pw_ok_r, oldhit_ok_i * pw_ok_r)
+        src_main_r = jnp.where(
+            stay_r, pw_src_r, jnp.minimum(old_hit_r, BIGL - 2))
+        src_r = jnp.where(
+            im_r, jnp.where((hsm_i > 0) & (nval_i > 0), src_main_r, -1),
+            rslot)
+        fro_src_r = jnp.where(im_r & child_r & (pw_ok_r > 0), pw_src_r, -1)
+
+        fpk1_r = to_rows(fpk1)
+        fpk2_r = to_rows(fpk2)
+        mk = (rep_rows(fk1) == fpk1_r) & (rep_rows(fk2) == fpk2_r)
+        sweptB = rep_rows(jnp.where(swept, 1, 0))
+        fvalB = rep_rows(jnp.where(fval > 0, 1, 0))
+        pr = jnp.min(jnp.where(mk & (sweptB > 0), laneB, BIGL), axis=1,
+                     keepdims=True)
+        pr2 = jnp.min(jnp.where(mk & (fvalB > 0), laneB, BIGL), axis=1,
+                      keepdims=True)
+        is_root_r = (fpk1_r == 0) & (fpk2_r == 0)
+        par_r = jnp.where((pr >= BIGL) | is_root_r, -1, pr)
+        par2_r = jnp.where((pr2 >= BIGL) | is_root_r, -1, pr2)
+
+        val_r = to_rows(jnp.where(fval > 0, 1, 0)).astype(jnp.float32)
+        sw_r = to_rows(jnp.where(swept, 1, 0)).astype(jnp.float32)
+        ch_r = to_rows(fch).astype(jnp.float32)
+        root_r = jnp.where(is_root_r, 1.0, 0.0)
+        pswept_r = jnp.where(par_r >= 0, 1.0, 0.0)
+        psmask_r = jnp.where(par2_r >= 0, 1.0, 0.0)
+
+        ohP[:, :] = jnp.where((ccol == cloc + src_r) & (src_r >= 0),
+                              1.0, 0.0)
+        ohFro[:, :] = jnp.where(
+            (ccol == cloc + fro_src_r) & (fro_src_r >= 0), 1.0, 0.0)
+        ohG[:, :] = jnp.where((ccol == cloc + par_r) & (par_r >= 0),
+                              1.0, 0.0)
+        ohG2[:, :] = jnp.where((ccol == cloc + par2_r) & (par2_r >= 0),
+                               1.0, 0.0)
+
+        # ---- storage permute (verbatim from the general kernel) ----
+        def _permute_span(st, ps, SP):
+            st_t = _split3(st[:, pl.ds(0, SP)])
+            ps_t = _split3(ps[:, pl.ds(0, SP)])
+            G = 128
+            pst_l, pps_l, fst_l = [], [], []
+            for g0 in range(0, BC, G):
+                g1 = min(g0 + G, BC)
+                gsz = g1 - g0
+                OH = jnp.concatenate(
+                    [ohP[g0:g1, 0:gsz].astype(jnp.bfloat16),
+                     ohFro[g0:g1, 0:gsz].astype(jnp.bfloat16)], axis=0)
+                X = jnp.concatenate(
+                    [t[g0:g1] for t in st_t] + [t[g0:g1] for t in ps_t],
+                    axis=1)
+                R = _dotb(OH, X)
+
+                def s3(rows, c0):
+                    return ((rows[:, c0:c0 + SP]
+                             + rows[:, c0 + SP:c0 + 2 * SP])
+                            + rows[:, c0 + 2 * SP:c0 + 3 * SP])
+
+                pst_l.append(s3(R[0:gsz], 0))
+                pps_l.append(s3(R[0:gsz], 3 * SP))
+                fst_l.append(s3(R[gsz:2 * gsz], 0))
+
+            def _cat(parts):
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0)
+
+            fr_beam = _cat(pps_l)
+            fr_child = _cat(fst_l)
+            is_child_rr = (is_main_r > 0) & (rslot >= W) & (rslot < C)
+            newfr = jnp.where(is_child_rr, fr_child, fr_beam)
+            st[:, pl.ds(0, SP)] = jnp.where(src_r >= 0, _cat(pst_l), _NEG)
+            ps[:, pl.ds(0, SP)] = jnp.where(val_r > 0, newfr, _NEG)
+
+        def _span_buckets():
+            return (256, 384, 512, S)
+
+        def permute(st, ps, span):
+            bks = _span_buckets()
+            for bi, SP in enumerate(bks):
+                pred = span <= SP
+                if bi > 0:
+                    pred = pred & (span > bks[bi - 1])
+
+                @pl.when(pred)
+                def _p(SP=SP):
+                    _permute_span(st, ps, SP)
+
+        spn0 = jnp.max(hw0_v[:, :])
+        spn1 = jnp.max(hw1_v[:, :])
+        permute(st0, ps0, spn0)
+        permute(st1, ps1, spn1)
+
+        # ==================================================================
+        # windowed sweeps, pair-uniform chunk grid
+        # ==================================================================
+        liC = jax.lax.broadcasted_iota(jnp.int32, (BC, CH), 1)
+
+        def sweep_axis(st, ps, es, lo_v, hi_v, so_v, hw_v):
+            wid_v = hi_v - lo_v
+            so = so_v[:, :]
+            hw_v[:, :] = jnp.where(
+                wid_v > 0,
+                jnp.maximum(hw_v[:, :],
+                            ((hi_v - so + 127) // 128) * 128 + CH),
+                hw_v[:, :])
+
+            lo_r = vrows(lo_v)
+            hi_r = vrows(hi_v)
+            so_r = vrows(so)
+
+            n_chunks = jnp.minimum(
+                (jnp.max(jnp.where(wid_v > 0, hi_v - so, 0)) + CH - 1) // CH,
+                NB)
+
+            # seeds: own storage value at lo-1 (span-restricted scan)
+            def seed_span(SP):
+                li = jax.lax.broadcasted_iota(jnp.int32, (BC, SP), 1)
+                tpos = so_r + li
+                seeds[:, :] = jnp.max(
+                    jnp.where(tpos == lo_r - 1, st[:, pl.ds(0, SP)], _NEG),
+                    axis=1, keepdims=True)
+
+            bks = _span_buckets()
+            spn = jnp.max(hw_v[:, :])
+            for bi, SP in enumerate(bks):
+                pred = spn <= SP
+                if bi > 0:
+                    pred = pred & (spn > bks[bi - 1])
+
+                @pl.when(pred)
+                def _s(SP=SP):
+                    seed_span(SP)
+
+            seeds[:, :] = jnp.where(sw_r > 0, seeds[:, :], _NEG)
+            mx[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
+
+            def chunk(kc, carry):
+                kk = pl.multiple_of(
+                    jnp.minimum(kc * CH, S - CH), 128)
+                kkp = pl.multiple_of(jnp.maximum(kk - CH, 0), 128)
+
+                em = jnp.full((BC, CH), _NEG, jnp.float32)
+                for c in range(A):
+                    emc = jnp.repeat(
+                        es[c * B:(c + 1) * B, pl.ds(kk, CH)], CP, axis=0)
+                    em = jnp.where(ch_r == float(c), emc, em)
+                gap = jnp.repeat(
+                    es[A * B:(A + 1) * B, pl.ds(kk, CH)], CP, axis=0)
+                rootv = jnp.repeat(
+                    es[(A + 1) * B:(A + 2) * B, pl.ds(kk, CH)], CP, axis=0)
+
+                fA = ps[:, pl.ds(kkp, CH)]
+                fB = ps[:, pl.ds(kk, CH)]
+                fcat = jnp.concatenate([fA, fB], axis=1)
+                fro = jax.lax.slice_in_dim(fcat, CH - 1, 2 * CH - 1, axis=1)
+                old = st[:, pl.ds(kk, CH)]
+                t_abs = so_r + kk + liC
+
+                in_m = jnp.where(
+                    (t_abs >= lo_r) & (t_abs < hi_r) & (sw_r > 0), 1.0, 0.0)
+                fro_pos = t_abs - 1 - so_r
+                fro = jnp.where((fro_pos >= 0) & (fro_pos < WF), fro, _NEG)
+                ext = jnp.where(root_r > 0, rootv, fro)
+
+                gapm = jnp.where(in_m > 0, gap, 0.0)
+                cg = gapm
+                sh = 1
+                while sh < CH:
+                    cg = cg + jnp.where(liC >= sh, pltpu.roll(cg, sh, 1),
+                                        0.0)
+                    sh *= 2
+
+                sd = seeds[:, :]
+                pseed = _gather_f32(ohG, sd, BC)
+
+                def layer(par):
+                    parsh = pltpu.roll(par, 1, 1)
+                    parsh = jnp.where(liC == 0, pseed, parsh)
+                    parsh = jnp.where(t_abs == lo_r, pseed, parsh)
+                    pvv = jnp.where(pswept_r > 0, parsh, ext)
+                    E = jnp.where(in_m > 0, pvv + em, _NEG)
+                    X = E - cg
+                    run = X
+                    sh = 1
+                    while sh < CH:
+                        prev = jnp.where(liC >= sh,
+                                         pltpu.roll(run, sh, 1), _NEG)
+                        run = jnp.logaddexp(run, prev)
+                        sh *= 2
+                    pfull = cg + jnp.logaddexp(run, sd)
+                    return jnp.where(in_m > 0, pfull, _NEG)
+
+                m = layer(jnp.broadcast_to(
+                    jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH)))
+
+                def layer_body(_l, mm):
+                    return layer(_gather(ohG, _split3(mm), BC))
+
+                m = jax.lax.fori_loop(1, n_layers, layer_body, m)
+
+                merged = jnp.where(in_m > 0, m, old)
+                st[:, pl.ds(kk, CH)] = merged
+
+                mx[:, :] = jnp.maximum(
+                    mx[:, :], jnp.max(jnp.where(in_m > 0, m, _NEG), axis=1,
+                                      keepdims=True))
+                last_t_r = so_r + kk + CH - 1
+                last_ok = (sw_r > 0) & (last_t_r >= lo_r) & (last_t_r < hi_r)
+                seeds[:, :] = jnp.where(last_ok, m[:, CH - 1:CH],
+                                        seeds[:, :])
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+            spn2 = jnp.max(hw_v[:, :])
+            for bi, SP in enumerate(bks):
+                pred = spn2 <= SP
+                if bi > 0:
+                    pred = pred & (spn2 > bks[bi - 1])
+
+                @pl.when(pred)
+                def _rf(SP=SP):
+                    pp = _gather(ohG2, _split3(st[:, pl.ds(0, SP)]), BC)
+                    ps[:, pl.ds(0, SP)] = jnp.where(
+                        psmask_r > 0, pp, ps[:, pl.ds(0, SP)])
+
+        # dynamic layer count (verbatim)
+        def _gather_small(oh_ref, x):
+            G = 128
+            outs = []
+            for g0 in range(0, BC, G):
+                g1 = min(g0 + G, BC)
+                outs.append(_dotb(
+                    oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16),
+                    x[g0:g1].astype(jnp.bfloat16)))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        dvec = jnp.ones((BC, 1), jnp.float32)
+        for _ in range(LAYERS - 1):
+            pd = _gather_small(ohG, dvec)
+            dvec = jnp.where(pswept_r > 0, 1.0 + pd, 1.0)
+        dvec = jnp.where(sw_r > 0, dvec, 0.0)
+        n_layers = jnp.minimum(
+            jnp.max(dvec).astype(jnp.int32), LAYERS)
+
+        sweep_axis(st0, ps0, es0, alo_v, ahi_v, so0_v, hw0_v)
+        # per-axis window maxes persist across CONT parts (general-kernel
+        # semantics): MAIN resets, CONT0/CONT1 accumulate their axis
+        mx0s[:, :] = jnp.where(
+            is_main_r > 0, mx[:, :],
+            jnp.where(c0cont_r > 0, jnp.maximum(mx0s[:, :], mx[:, :]),
+                      mx0s[:, :]))
+        sweep_axis(st1, ps1, es1, blo_v, bhi_v, so1_v, hw1_v)
+        mx1s[:, :] = jnp.where(
+            is_main_r > 0, mx[:, :],
+            jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
+                      mx1s[:, :]))
+
+        # ---- block-end storage eviction: vectorized chunk-select shift
+        @pl.when(pcol == 127)
+        def _shift():
+            for stx, psx, so_v, hw_v, pso_v in (
+                    (st0, ps0, so0_v, hw0_v, pso0_v),
+                    (st1, ps1, so1_v, hw1_v, pso1_v)):
+                ns = jnp.maximum(so_v[:, :], pso_v)
+                d_v = (ns - so_v[:, :]) // 128
+                d_r = vrows(d_v)
+                for ref in (stx, psx):
+                    for j in range(NB):
+                        acc = jnp.full((BC, CH), _NEG, jnp.float32)
+                        for k in range(NB - j):
+                            acc = jnp.where(
+                                d_r == k,
+                                ref[:, (j + k) * CH:(j + k + 1) * CH], acc)
+                        ref[:, j * CH:(j + 1) * CH] = acc
+                so_v[:, :] = so_v[:, :] + d_v * 128
+                hw_v[:, :] = jnp.maximum(hw_v[:, :] - d_v * 128, 0)
+
+        # ---- scores: [BC,1] -> [PB,LN] via grouped exact ones-matmul ----
+        tot_r = mx0s[:, :] + mx1s[:, :]
+        X = jnp.where(laneB == rslot, jnp.broadcast_to(tot_r, (BC, LN)),
+                      0.0)
+        Xt = _split3(X)
+        outs = []
+        G = 128
+        PG = G // CP  # pairs per group
+        for g0 in range(0, BC, G):
+            g1 = min(g0 + G, BC)
+            gp0 = g0 // CP
+            M = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (PG, G), 1) // CP)
+                == jax.lax.broadcasted_iota(jnp.int32, (PG, G), 0),
+                1.0, 0.0).astype(jnp.bfloat16)
+            cat = jnp.concatenate([t[g0:g1] for t in Xt], axis=1)
+            R = _dotb(M, cat)
+            outs.append((R[:, 0:LN] + R[:, LN:2 * LN]) + R[:, 2 * LN:3 * LN])
+        sc_lanes = jnp.concatenate(outs, axis=0)
+        new_sco = jnp.where((fval > 0) & (lane < C), sc_lanes, _NEG)
+        SCO[:, :] = jnp.where(sa, new_sco, sco)
+
+        # ---- provenance (verbatim packing) ----
+        packed = vlan(jnp.minimum(stype_v, 3))
+        for w in range(W):
+            wv = jnp.where(hass[w], firsts[w], -1)
+            packed = packed | ((wv + 1) << (2 + 6 * w))
+        pv_s[:, :] = jnp.where(lane == i % 128, packed, pv_s[:, :])
+
+        @pl.when((i % 128 == 127) | (i == NTOT - 1))
+        def _flush_prov():
+            cp = pltpu.make_async_copy(
+                pv_s, prov_ref.at[pl.ds((i // 128) * PB, PB), :],
+                dma_sem.at[3])
+            cp.start()
+            cp.wait()
+
+    return kernel, C, CP, PB, BC
+
+
+@partial(jax.jit,
+         static_argnames=("B", "W", "A", "L1", "L2", "K", "N"))
+def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
+                L1: int, L2: int, K: int, N: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel, C, CP, PB, BC = _build_kernel(B, W, A, L1, L2, K, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N // K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BC, S), jnp.float32),    # st0
+            pltpu.VMEM((BC, S), jnp.float32),    # ps0
+            pltpu.VMEM((BC, S), jnp.float32),    # st1
+            pltpu.VMEM((BC, S), jnp.float32),    # ps1
+            pltpu.VMEM((PB, 128), jnp.int32),    # K1
+            pltpu.VMEM((PB, 128), jnp.int32),    # K2
+            pltpu.VMEM((PB, 128), jnp.int32),    # PK1
+            pltpu.VMEM((PB, 128), jnp.int32),    # PK2
+            pltpu.VMEM((PB, 128), jnp.int32),    # CHR
+            pltpu.VMEM((PB, 128), jnp.int32),    # PCH
+            pltpu.VMEM((PB, 128), jnp.float32),  # VAL
+            pltpu.VMEM((PB, 128), jnp.float32),  # SCO
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohP
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohFro
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohG
+            pltpu.VMEM((BC, 128), jnp.float32),  # ohG2
+            pltpu.VMEM((BC, 1), jnp.float32),    # seeds
+            pltpu.VMEM((BC, 1), jnp.float32),    # mx0s
+            pltpu.VMEM((BC, 1), jnp.float32),    # mx
+            pltpu.VMEM((BC, 1), jnp.float32),    # mx1s
+            pltpu.VMEM((B, 1), jnp.int32),       # so0_v
+            pltpu.VMEM((B, 1), jnp.int32),       # so1_v
+            pltpu.VMEM((B, 1), jnp.int32),       # hw0_v
+            pltpu.VMEM((B, 1), jnp.int32),       # hw1_v
+            pltpu.VMEM((6 * B, S), jnp.float32),  # es0
+            pltpu.VMEM((6 * B, S), jnp.float32),  # es1
+            pltpu.VMEM((6 * B, L1), jnp.float32),  # yr0
+            pltpu.VMEM((6 * B, L2), jnp.float32),  # yr1
+            pltpu.VMEM((8 * B, 128), jnp.int32),   # plan_v
+            pltpu.VMEM((PB, 128), jnp.int32),      # pv_s
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    (prov,) = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((((N + 127) // 128) * PB, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+    )(y1p, y2p, plan_mat)
+    return prov
+
+
+# ==========================================================================
+# host side: packing, launch, traceback
+# ==========================================================================
+
+def _pack_plane6(y: np.ndarray) -> np.ndarray:
+    """[T, A+1] log-probs -> [6, T+1] plane rows (chars, gap, cum-gap)."""
+    T, Sy = y.shape
+    plane = np.full((6, T + 1), _NEG, np.float32)
+    plane[:Sy, :T] = y.T.astype(np.float32)
+    cum = np.cumsum(y[:, -1]).astype(np.float32)
+    plane[Sy, 0] = 0.0
+    plane[Sy, 1:T + 1] = cum
+    return plane
+
+
+def _al(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def prepare_box(y1, y2, envelope, cap: int = 256):
+    """Per-box host prep: plan (+FIN, padded), anchors, spans.
+
+    Returns None when the box needs more live span than the kernel's
+    static storage strip — the caller routes those through the general
+    kernel."""
+    y1 = np.asarray(y1)
+    y2 = np.asarray(y2)
+    U, V = len(y1), len(y2)
+    env = np.asarray(envelope, dtype=np.int64)[:U]
+    from .beam2d_planned import build_plan
+    p = _split_wide(build_plan(env, U, V), cap=cap)
+    n = len(p["type"])
+    # FIN: zero-width MAIN — winner 0 of its provenance word is the argmax
+    # of the final table, so no score fetch is needed
+    arr = np.zeros((5, n + 1), np.int32)
+    arr[0, :n] = p["type"]
+    arr[1, :n] = p["a_lo"]
+    arr[2, :n] = p["a_hi"]
+    arr[3, :n] = p["b_lo"]
+    arr[4, :n] = p["b_hi"]
+    arr[0, n] = MAIN
+    np_len = _al(n + 1)
+    pad = np.zeros((5, np_len - (n + 1)), np.int32)
+    pad[0, :] = C0RUN
+    arr = np.concatenate([arr, pad], axis=1)
+    pp = dict(type=arr[0], a_lo=arr[1], a_hi=arr[2], b_lo=arr[3],
+              b_hi=arr[4])
+    sm0, sm1 = _plan_anchors(pp)
+    s0, s1 = _plan_spans(pp, sm0, sm1)
+    if max(s0, s1) + 2 > SMAX:
+        return None
+    return dict(plan=arr, sm0=sm0.astype(np.int32), sm1=sm1.astype(np.int32),
+                fin=n, n=np_len, y1=y1, y2=y2, U=U, V=V)
+
+
+def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
+                    B: int = 64, steps_per_grid: int = 2,
+                    prepared=None):
+    """Decode many (y1, y2, envelope) anchor boxes in one segmented
+    launch. Returns (seqs, overflow_idx): seqs[i] is the consensus for
+    box i or None when its span overflows the static strip (overflow
+    indices are also listed separately for the caller to reroute)."""
+    W = beam_width
+    A = len(alphabet)
+    n = len(boxes)
+    seqs = [None] * n
+    preps = []
+    overflow = []
+    for idx, (y1, y2, env) in enumerate(boxes):
+        pb = (prepared[idx] if prepared is not None
+              else prepare_box(y1, y2, env))
+        if pb is None:
+            overflow.append(idx)
+        else:
+            preps.append((idx, pb))
+    if not preps:
+        return seqs, overflow
+
+    B = max(8, min(B, ((len(preps) + 7) // 8) * 8))
+    # LPT bin-packing on padded plan length
+    order = sorted(range(len(preps)), key=lambda i: -preps[i][1]["n"])
+    lanes = [[] for _ in range(B)]
+    loads = np.zeros(B, np.int64)
+    for i in order:
+        b = int(np.argmin(loads))
+        lanes[b].append(i)
+        loads[b] += preps[i][1]["n"]
+
+    N = _al(int(loads.max()))
+    N_pad = ((N + 511) // 512) * 512
+    # per-lane emission bases
+    el1 = np.zeros(B, np.int64)
+    el2 = np.zeros(B, np.int64)
+    placed = []  # (prep_i, lane, step0, base1, base2)
+    for b in range(B):
+        st = 0
+        for i in lanes[b]:
+            pb = preps[i][1]
+            placed.append((i, b, st, int(el1[b]), int(el2[b])))
+            st += pb["n"]
+            el1[b] += _al(pb["U"] + 2)
+            el2[b] += _al(pb["V"] + 2)
+
+    def bucket_pow2(x, lo=1024):
+        v = lo
+        while v < x:
+            v *= 2
+        return v
+
+    L1 = bucket_pow2(int(el1.max()) if len(placed) else 1024)
+    L2 = bucket_pow2(int(el2.max()) if len(placed) else 1024)
+
+    y1p = np.full((6 * B, L1), _NEG, np.float32)
+    y2p = np.full((6 * B, L2), _NEG, np.float32)
+    plan_mat = np.zeros((8 * B, N_pad), np.int32)
+    # default padding: zero-width catch runs (exact no-ops)
+    plan_mat[0 * B:1 * B, :] = C0RUN
+    # every lane col 0 needs a valid reset (origin -128) even if empty
+    plan_mat[7 * B:8 * B, 0] = 1
+    plan_mat[5 * B:6 * B, 0] = -128
+    plan_mat[6 * B:7 * B, 0] = -128
+
+    for i, b, st, b1, b2 in placed:
+        pb = preps[i][1]
+        nn = pb["n"]
+        sl = slice(st, st + nn)
+        plan_mat[0 * B + b, sl] = pb["plan"][0]
+        plan_mat[1 * B + b, sl] = pb["plan"][1] + np.where(
+            pb["plan"][2] > pb["plan"][1], b1, 0)
+        plan_mat[2 * B + b, sl] = pb["plan"][2] + np.where(
+            pb["plan"][2] > pb["plan"][1], b1, 0)
+        plan_mat[3 * B + b, sl] = pb["plan"][3] + np.where(
+            pb["plan"][4] > pb["plan"][3], b2, 0)
+        plan_mat[4 * B + b, sl] = pb["plan"][4] + np.where(
+            pb["plan"][4] > pb["plan"][3], b2, 0)
+        plan_mat[5 * B + b, sl] = pb["sm0"] + b1
+        plan_mat[6 * B + b, sl] = pb["sm1"] + b2
+        plan_mat[7 * B + b, st] = 1
+        plan_mat[5 * B + b, st] = b1 - 128
+        plan_mat[6 * B + b, st] = b2 - 128
+        p1 = _pack_plane6(pb["y1"])
+        p2 = _pack_plane6(pb["y2"])
+        y1p[np.arange(6) * B + b, b1:b1 + p1.shape[1]] = p1
+        y2p[np.arange(6) * B + b, b2:b2 + p2.shape[1]] = p2
+        # carry anchors through trailing padding of the lane
+        if st + nn == loads[b]:
+            plan_mat[5 * B + b, st + nn:] = pb["sm0"][-1] + b1
+            plan_mat[6 * B + b, st + nn:] = pb["sm1"][-1] + b2
+
+    prov = _run_kernel(jnp.asarray(y1p), jnp.asarray(y2p),
+                       jnp.asarray(plan_mat), B, W, A, L1, L2,
+                       K=steps_per_grid, N=N_pad)
+    prov = np.asarray(prov).reshape(-1, B, 128)
+    for i, b, st, b1, b2 in placed:
+        pb = preps[i][1]
+        words = prov[:, b, :].reshape(-1)
+        seqs[preps[i][0]] = _traceback_box(
+            words, st, st + pb["fin"], W, A, alphabet)
+    return seqs, overflow
+
+
+def _traceback_box(words: np.ndarray, start: int, fin: int,
+                   W: int, A: int, alphabet: str) -> str:
+    """Walk packed provenance from the box's FIN step down to its first
+    step. FIN is a zero-width MAIN: after it, slot 0 is the argmax
+    candidate, so the walk starts at j=0 from the FIN word itself."""
+    j = 0
+    chars = []
+    for t in range(fin, start - 1, -1):
+        word = int(words[t])
+        if (word & 3) != MAIN:
+            continue
+        if j >= W:
+            chars.append((j - W) % A)
+            j = (j - W) // A
+        j = ((word >> (2 + 6 * j)) & 63) - 1
+        if j < 0:
+            break
+    if j >= 0:
+        chars.append(j if j < A else None)
+    out = [c for c in reversed(chars) if c is not None]
+    return "".join(alphabet[c] for c in out)

@@ -381,10 +381,42 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                               1.0, 0.0)
         ohFro[:, :] = jnp.where(
             (ccol == cloc + fro_src_r) & (fro_src_r >= 0), 1.0, 0.0)
-        ohG[:, :] = jnp.where((ccol == cloc + par_r) & (par_r >= 0),
+        # wide (512-row-group) parent one-hot for the hot chunk-loop
+        # gathers: 4x fewer MXU launches than 128-groups, and the small
+        # payloads ([BC, CH] sweep layers, [BC, 1] seeds) are launch-bound,
+        # not FLOP-bound
+        GW = 512
+        ccolW = jax.lax.broadcasted_iota(jnp.int32, (BC, GW), 1)
+        clocW = (rr % GW) // CP * CP
+        ohG[:, :] = jnp.where((ccolW == clocW + par_r) & (par_r >= 0),
                               1.0, 0.0)
         ohG2[:, :] = jnp.where((ccol == cloc + par2_r) & (par2_r >= 0),
                                1.0, 0.0)
+
+        def _gatherW(terms):
+            hi, mid, lo = terms
+            SP = hi.shape[1]
+            outs = []
+            for g0 in range(0, BC, GW):
+                g1 = min(g0 + GW, BC)
+                ohg = ohG[g0:g1, 0:g1 - g0].astype(jnp.bfloat16)
+                cat = jnp.concatenate(
+                    [hi[g0:g1], mid[g0:g1], lo[g0:g1]], axis=1)
+                r = _dotb(ohg, cat)
+                outs.append((r[:, 0:SP] + r[:, SP:2 * SP])
+                            + r[:, 2 * SP:3 * SP])
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        def _gather_f32W(x):
+            outs = []
+            for g0 in range(0, BC, GW):
+                g1 = min(g0 + GW, BC)
+                outs.append(jax.lax.dot_general(
+                    ohG[g0:g1, 0:g1 - g0], x[g0:g1],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
 
         # ---- storage permute (verbatim from the general kernel) ----
         def _permute_span(st, ps, SP):
@@ -439,8 +471,14 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
 
         spn0 = jnp.max(hw0_v[:, :])
         spn1 = jnp.max(hw1_v[:, :])
-        permute(st0, ps0, spn0)
-        permute(st1, ps1, spn1)
+        # on steps with no MAIN pair the permute is the identity on every
+        # live row (src_r == rslot, fr_beam == ps), so skip it wholesale
+        any_main = jnp.max(is_main_r) > 0
+
+        @pl.when(any_main)
+        def _permutes():
+            permute(st0, ps0, spn0)
+            permute(st1, ps1, spn1)
 
         # ==================================================================
         # windowed sweeps, pair-uniform chunk grid
@@ -523,7 +561,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                     sh *= 2
 
                 sd = seeds[:, :]
-                pseed = _gather_f32(ohG, sd, BC)
+                pseed = _gather_f32W(sd)
 
                 def layer(par):
                     parsh = pltpu.roll(par, 1, 1)
@@ -546,7 +584,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                     jnp.where(pswept_r > 0, _NEG, 0.0), (BC, CH)))
 
                 def layer_body(_l, mm):
-                    return layer(_gather(ohG, _split3(mm), BC))
+                    return layer(_gatherW(_split3(mm)))
 
                 m = jax.lax.fori_loop(1, n_layers, layer_body, m)
 
@@ -576,24 +614,40 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                     ps[:, pl.ds(0, SP)] = jnp.where(
                         psmask_r > 0, pp, ps[:, pl.ds(0, SP)])
 
-        # dynamic layer count (verbatim)
-        def _gather_small(oh_ref, x):
-            G = 128
-            outs = []
-            for g0 in range(0, BC, G):
-                g1 = min(g0 + G, BC)
-                outs.append(_dotb(
-                    oh_ref[g0:g1, 0:g1 - g0].astype(jnp.bfloat16),
-                    x[g0:g1].astype(jnp.bfloat16)))
-            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
-
-        dvec = jnp.ones((BC, 1), jnp.float32)
-        for _ in range(LAYERS - 1):
-            pd = _gather_small(ohG, dvec)
-            dvec = jnp.where(pswept_r > 0, 1.0 + pd, 1.0)
-        dvec = jnp.where(sw_r > 0, dvec, 0.0)
+        # ---- dynamic layer count from winner-space parent chains ----
+        # A swept row's parent is only ever another winner (children are
+        # key-extensions, never ancestors; lane order puts stays first for
+        # the min-lane match), so the max parent-chain depth over swept
+        # rows is computable with W^2 [PB,1] compares instead of the
+        # general kernel's 5 rounds of grouped one-hot matmuls: depth of
+        # winner w chains through the first winner holding its parent key;
+        # child rows (swept on MAIN/CONT steps) add one level.
+        wpar = []
+        for w in range(W):
+            p = jnp.full((PB, 1), -1, jnp.int32)
+            for w2 in range(W):
+                eq = ((kw1s[w2] == pk1s[w]) & (kw2s[w2] == pk2s[w])
+                      & hass[w2])
+                p = jnp.where((p < 0) & eq, w2, p)
+            root_w = (pk1s[w] == 0) & (pk2s[w] == 0)
+            wpar.append(jnp.where(root_w, -1, p))
+        dw = [jnp.ones((PB, 1), jnp.float32) for _ in range(W)]
+        for _ in range(W - 1):
+            ndw = []
+            for w in range(W):
+                pd = jnp.zeros((PB, 1), jnp.float32)
+                for w2 in range(W):
+                    pd = jnp.where(wpar[w] == w2, dw[w2], pd)
+                ndw.append(jnp.where(wpar[w] >= 0, 1.0 + pd, 1.0))
+            dw = ndw
+        mdw = jnp.zeros((PB, 1), jnp.float32)
+        for w in range(W):
+            mdw = jnp.maximum(mdw, jnp.where(hass[w], dw[w], 0.0))
+        swall_v = jnp.where((stype_v == MAIN) | (stype_v >= CONT0),
+                            1.0, 0.0)
+        nl_v = mdw[:B] + swall_v
         n_layers = jnp.minimum(
-            jnp.max(dvec).astype(jnp.int32), LAYERS)
+            jnp.max(nl_v).astype(jnp.int32), LAYERS)
 
         sweep_axis(st0, ps0, es0, alo_v, ahi_v, so0_v, hw0_v)
         # per-axis window maxes persist across CONT parts (general-kernel
@@ -634,17 +688,16 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                       0.0)
         Xt = _split3(X)
         outs = []
-        G = 128
-        PG = G // CP  # pairs per group
-        for g0 in range(0, BC, G):
-            g1 = min(g0 + G, BC)
-            gp0 = g0 // CP
+        GS = 512
+        PG = GS // CP  # pairs per group
+        for g0 in range(0, BC, GS):
+            g1 = min(g0 + GS, BC)
             M = jnp.where(
-                (jax.lax.broadcasted_iota(jnp.int32, (PG, G), 1) // CP)
-                == jax.lax.broadcasted_iota(jnp.int32, (PG, G), 0),
-                1.0, 0.0).astype(jnp.bfloat16)
+                (jax.lax.broadcasted_iota(jnp.int32, (PG, GS), 1) // CP)
+                == jax.lax.broadcasted_iota(jnp.int32, (PG, GS), 0),
+                1.0, 0.0).astype(jnp.bfloat16)[:, 0:g1 - g0]
             cat = jnp.concatenate([t[g0:g1] for t in Xt], axis=1)
-            R = _dotb(M, cat)
+            R = _dotb(M[0:(g1 - g0) // CP], cat)
             outs.append((R[:, 0:LN] + R[:, LN:2 * LN]) + R[:, 2 * LN:3 * LN])
         sc_lanes = jnp.concatenate(outs, axis=0)
         new_sco = jnp.where((fval > 0) & (lane < C), sc_lanes, _NEG)
@@ -703,7 +756,7 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((PB, 128), jnp.float32),  # SCO
             pltpu.VMEM((BC, 128), jnp.float32),  # ohP
             pltpu.VMEM((BC, 128), jnp.float32),  # ohFro
-            pltpu.VMEM((BC, 128), jnp.float32),  # ohG
+            pltpu.VMEM((BC, 512), jnp.float32),  # ohG (512-row groups)
             pltpu.VMEM((BC, 128), jnp.float32),  # ohG2
             pltpu.VMEM((BC, 1), jnp.float32),    # seeds
             pltpu.VMEM((BC, 1), jnp.float32),    # mx0s

@@ -34,6 +34,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 DATA = "/root/reference/data"
 RESULTS: dict = {}
+_RESULTS_PATH = os.path.join(os.path.dirname(__file__) or ".",
+                             "bench_results.json")
+try:
+    with open(_RESULTS_PATH) as _f:
+        PREV: dict = json.load(_f)
+except Exception:
+    PREV = {}
 
 
 def log(msg: str) -> None:
@@ -47,6 +54,35 @@ def _best_of(fn, n=3):
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _timed(fn, n=3):
+    """Run fn n times; return (last_output, min_s, median_s)."""
+    ts = []
+    out = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        ts.append(time.perf_counter() - t0)
+    return out, min(ts), sorted(ts)[len(ts) // 2]
+
+
+def _note_prev(name: str) -> None:
+    """Regression check vs the previous bench_results.json (VERDICT r3
+    item 4: two consecutive rounds shipped unflagged slowdowns)."""
+    cur = RESULTS.get(name)
+    prev = PREV.get(name)
+    if not isinstance(cur, dict) or not isinstance(prev, dict):
+        return
+    pt, ct = prev.get("tpu_s"), cur.get("tpu_s")
+    if not pt or not ct:
+        return
+    cur["vs_prev_speedup"] = round(pt / ct, 3)
+    if ct > 1.3 * pt:
+        cur["regression_warning"] = (
+            f"tpu_s {pt} -> {ct}: >1.3x slower than previous bench run")
+        log(f"WARNING: {name} REGRESSED vs previous bench: "
+            f"{pt}s -> {ct}s ({ct / pt:.2f}x slower)")
 
 
 # --------------------------------------------------------------------------
@@ -195,7 +231,8 @@ def bench_beam():
     total_T = sum(len(y) for y in ys)
 
     seqs = beam_search_batch(ys, beam_width=25)  # warm
-    tpu = _best_of(lambda: beam_search_batch(ys, beam_width=25), n=2)
+    seqs, tpu, tpu_med = _timed(
+        lambda: beam_search_batch(ys, beam_width=25), n=3)
 
     # single-core CPU baseline: fresh C++ trie beam, the reference's
     # algorithm class (BeamSearch.h:18-58; native/beam1d_cpu.cpp)
@@ -212,10 +249,11 @@ def bench_beam():
     # saturated throughput: the scan's per-step cost is nearly flat in the
     # vmap batch axis, so reads/s/chip is measured at a full wave (the two
     # bundled reads replicated to B=32); outputs asserted identical
-    SAT_B = 32
+    SAT_B = int(os.environ.get("BENCH_BEAM_SAT_B", "128"))
     ys_sat = (ys * ((SAT_B + len(ys) - 1) // len(ys)))[:SAT_B]
     out_sat = beam_search_batch(ys_sat, beam_width=25)  # warm
-    sat = _best_of(lambda: beam_search_batch(ys_sat, beam_width=25), n=2)
+    out_sat, sat, _ = _timed(
+        lambda: beam_search_batch(ys_sat, beam_width=25), n=3)
     assert all(out_sat[i] == seqs[i % len(ys)] for i in range(SAT_B)), \
         "replicated 1D beam outputs diverge"
     total_T_sat = sum(len(y) for y in ys_sat)
@@ -224,7 +262,8 @@ def bench_beam():
     RESULTS["beam"] = dict(
         reads_per_s=round(len(ys) / tpu, 3),
         bases_per_s=round(total_T / tpu, 1),
-        tpu_s=round(tpu, 3), cpu_s=round(cpu, 3),
+        tpu_s=round(tpu, 3), tpu_s_med=round(tpu_med, 3),
+        cpu_s=round(cpu, 3),
         vs_baseline=round(cpu / tpu, 3),
         sat_batch=SAT_B,
         sat_s=round(sat, 3),
@@ -258,7 +297,8 @@ def bench_flipflop():
     total_T = sum(len(y) for y in ys)
 
     _ = viterbi_path_masked_batch(ys, mask)  # warm
-    tpu = _best_of(lambda: viterbi_path_masked_batch(ys, mask), n=2)
+    _, tpu, tpu_med = _timed(
+        lambda: viterbi_path_masked_batch(ys, mask), n=3)
 
     # single-core numpy viterbi baseline (the reference's transducer.py:35-59)
     def np_viterbi(y, trans):
@@ -277,7 +317,8 @@ def bench_flipflop():
     RESULTS["flipflop"] = dict(
         reads_per_s=round(len(ys) / tpu, 3),
         bases_per_s=round(total_T / tpu, 1),
-        tpu_s=round(tpu, 3), cpu_s=round(cpu, 3),
+        tpu_s=round(tpu, 3), tpu_s_med=round(tpu_med, 3),
+        cpu_s=round(cpu, 3),
         vs_baseline=round(cpu / tpu, 3),
     )
     log(f"flipflop: {len(ys)} traces T={total_T} tpu={tpu:.3f}s "
@@ -346,8 +387,10 @@ def bench_pair():
     # ---- TPU: batched Pallas kernel, with graceful fallbacks ----
     seqs_tpu, engine, tpu_time = None, None, float("inf")
 
+    tpu_med = None
+
     def try_engine(name, fn):
-        nonlocal seqs_tpu, engine, tpu_time
+        nonlocal seqs_tpu, engine, tpu_time, tpu_med
         if seqs_tpu is not None:
             return
         try:
@@ -355,9 +398,7 @@ def bench_pair():
             out = fn()
             warm = time.perf_counter() - t0
             log(f"pair[{name}]: warm (incl compile) {warm:.1f}s")
-            t0 = time.perf_counter()
-            out = fn()
-            tpu_time = time.perf_counter() - t0
+            out, tpu_time, tpu_med = _timed(fn, n=3)
             seqs_tpu, engine = out, name
         except Exception:
             log(f"pair[{name}]: FAILED, falling back")
@@ -440,9 +481,8 @@ def bench_pair():
             out_sat = pair_beam_pallas_batch(wl_sat, beam_width=5)
             warm = time.perf_counter() - t0
             log(f"pair[sat B={SAT_B}]: warm (incl compile) {warm:.1f}s")
-            t0 = time.perf_counter()
-            out_sat = pair_beam_pallas_batch(wl_sat, beam_width=5)
-            sat_time = time.perf_counter() - t0
+            out_sat, sat_time, _ = _timed(
+                lambda: pair_beam_pallas_batch(wl_sat, beam_width=5), n=3)
             assert all(out_sat[i] == seqs_tpu[i % n_pairs]
                        for i in range(SAT_B)), "replicated outputs diverge"
             cpu_pairs_per_s = n_pairs / cpu_time
@@ -466,7 +506,8 @@ def bench_pair():
         reads_per_s=round(reads_per_s, 3),
         cells_per_s=round(cells / tpu_time, 1),
         bases_per_s=round(sum(len(s) for s in seqs_tpu) / tpu_time, 1),
-        tpu_s=round(tpu_time, 3), cpu_s=round(cpu_time, 3),
+        tpu_s=round(tpu_time, 3), tpu_s_med=round(tpu_med, 3),
+        cpu_s=round(cpu_time, 3),
         vs_baseline=round(vs, 3),
         oracle_exact=f"{oracle_match}/{n_pairs}",
         trie_match=f"{n_match}/{n_pairs}",
@@ -507,12 +548,23 @@ def bench_pair():
         log("pair_fast (anchored) measurement FAILED (non-fatal)")
         traceback.print_exc(file=sys.stderr)
 
+    try:
+        bench_pair_exact(workloads, seqs_cpu, cpu_time)
+    except Exception:
+        log("pair_exact measurement FAILED (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+
 
 def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
-                        threshold: int = 10, wave_b: int = 16):
+                        threshold: int = 10):
+    """Anchored --skip_matches mode through the production box-batch
+    engine (ops/pallas_box_beam.py via decoding.pair.batched_box_decode):
+    every anchor box across every pair becomes a lane segment of ONE
+    segmented Pallas launch (reference pair_decode.py:412-452,510-522)."""
     from poreover_tpu import native
-    from poreover_tpu.decoding.pair import anchored_box_workloads
-    from poreover_tpu.ops.pallas_pair_beam_batch import pair_beam_pallas_batch
+    from poreover_tpu.decoding.pair import (
+        anchored_box_workloads, batched_box_decode,
+    )
 
     n_pairs = len(workloads)
     flat = []      # (pair_idx, sort_key, (y1, y2, env))
@@ -528,32 +580,19 @@ def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
         for (k, y1s, y2s, envs) in bw:
             flat.append((len(anchors) - 1, k, (y1s, y2s, envs)))
 
-    order = sorted(range(len(flat)),
-                   key=lambda i: len(flat[i][2][0]) + len(flat[i][2][1]))
-    waves = [order[i:i + wave_b] for i in range(0, len(order), wave_b)]
-    log(f"pair_fast: thr={threshold} {len(flat)} boxes in {len(waves)} "
-        f"waves of {wave_b}")
-
-    def run_all():
-        out = {}
-        for sel in waves:
-            seqs = pair_beam_pallas_batch([flat[j][2] for j in sel],
-                                          beam_width=5)
-            for j, s in zip(sel, seqs):
-                out[j] = s
-        return out
+    box_wls = [flat[j][2] for j in range(len(flat))]
+    log(f"pair_fast: thr={threshold} {len(flat)} boxes -> box-batch kernel")
 
     t0 = time.perf_counter()
-    box_seqs = run_all()
+    box_seqs = batched_box_decode(box_wls, beam_width=5)
     warm = time.perf_counter() - t0
     log(f"pair_fast: warm (incl compiles) {warm:.1f}s")
-    t0 = time.perf_counter()
-    box_seqs = run_all()
-    tpu_time = time.perf_counter() - t0
+    box_seqs, tpu_time, tpu_med = _timed(
+        lambda: batched_box_decode(box_wls, beam_width=5), n=3)
 
     # CPU: the SAME anchored decomposition, single-core unbounded trie
     t0 = time.perf_counter()
-    box_cpu = [native.pair_beam_row_col_cpu(*flat[j][2], beam_width=5)
+    box_cpu = [native.pair_beam_row_col_cpu(*box_wls[j], beam_width=5)
                for j in range(len(flat))]
     cpu_time = time.perf_counter() - t0
 
@@ -573,10 +612,11 @@ def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
 
     cells = sum(int(np.sum(e[:, 1] - e[:, 0])) for _, _, (_, _, e) in flat)
     RESULTS["pair_fast"] = dict(
-        threshold=threshold, n_boxes=len(flat), n_pairs=n_pairs,
+        engine="pallas_box", threshold=threshold,
+        n_boxes=len(flat), n_pairs=n_pairs,
         reads_per_s=round(2.0 * n_pairs / tpu_time, 3),
         cells_per_s=round(cells / tpu_time, 1),
-        tpu_s=round(tpu_time, 3),
+        tpu_s=round(tpu_time, 3), tpu_s_med=round(tpu_med, 3),
         cpu_s=round(cpu_time, 3),
         vs_baseline_same_mode=round(cpu_time / tpu_time, 3),
         vs_full_cpu=round(cpu_full_s / tpu_time, 3),
@@ -595,6 +635,52 @@ def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
         f"{cpu_full_s/tpu_time:.1f}x vs full-CPU) "
         f"box_match={box_match}/{len(flat)} "
         f"min_ident_vs_full={min(ident_full):.4f}")
+
+
+def bench_pair_exact(workloads, seqs_trie_cpu, cpu_full_s):
+    """--exact mode (unbounded-memo reference semantics via the graveyard
+    engine) on the real pairs, on TPU: resolves the f32 tie-flip question
+    empirically (VERDICT r3 item 3). trie_match compares against the
+    single-core unbounded C++ trie (PrefixTree.h:74-148 semantics)."""
+    from poreover_tpu.ops.beam2d_planned import (
+        beam_search_2d_planned_batch,
+    )
+
+    n_pairs = len(workloads)
+
+    def run():
+        return beam_search_2d_planned_batch(
+            workloads, beam_width=5, exact=True)
+
+    t0 = time.perf_counter()
+    seqs = run()
+    warm = time.perf_counter() - t0
+    log(f"pair_exact: warm (incl compile) {warm:.1f}s")
+    seqs, tpu_time, tpu_med = _timed(run, n=3)
+
+    n_match = sum(a == b for a, b in zip(seqs, seqs_trie_cpu))
+    idents = [_aligned_identity(a, b)
+              for a, b in zip(seqs, seqs_trie_cpu)]
+    cells = sum(int(np.sum(env[:, 1] - env[:, 0]))
+                for _, _, env in workloads)
+    RESULTS["pair_exact"] = dict(
+        engine="xla_planned_exact", n_pairs=n_pairs,
+        reads_per_s=round(2.0 * n_pairs / tpu_time, 3),
+        cells_per_s=round(cells / tpu_time, 1),
+        tpu_s=round(tpu_time, 3), tpu_s_med=round(tpu_med, 3),
+        cpu_s=round(cpu_full_s, 3),
+        vs_baseline=round(cpu_full_s / tpu_time, 3),
+        trie_match=f"{n_match}/{n_pairs}",
+        min_trie_identity=round(min(idents), 5),
+        baselines=dict(
+            cpu_s="native/pair_beam_cpu.cpp f64 UNBOUNDED trie "
+                  "(reference PrefixTree.h semantics) on the same pairs",
+            trie_match="vs that trie — exact mode targets equality",
+        ),
+    )
+    log(f"pair_exact: {n_pairs} pairs tpu={tpu_time:.2f}s "
+        f"({cpu_full_s/tpu_time:.2f}x) trie_match={n_match}/{n_pairs} "
+        f"min_ident={min(idents):.5f}")
 
 
 # --------------------------------------------------------------------------
@@ -700,9 +786,10 @@ def main() -> None:
             log(f"workload {name} FAILED")
             traceback.print_exc(file=sys.stderr)
             RESULTS[name] = dict(error="failed; see stderr")
+    for name in list(RESULTS):
+        _note_prev(name)
 
-    with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "bench_results.json"), "w") as f:
+    with open(_RESULTS_PATH, "w") as f:
         json.dump(RESULTS, f, indent=1)
     log(f"full results: {json.dumps(RESULTS)}")
 

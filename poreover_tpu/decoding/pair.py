@@ -589,9 +589,16 @@ def pair_decode_helper(args, _workload_sink=None):
     return _format_result(joined_basecalls)
 
 
-def _batch_fn():
+def _batch_fn(exact: bool = False):
     import jax
 
+    if exact:
+        # reference-exact (graveyard) mode batches through the XLA planned
+        # engine — the Pallas kernel implements windowed-memo semantics only
+        from functools import partial
+
+        from ..ops.beam2d_planned import beam_search_2d_planned_batch
+        return partial(beam_search_2d_planned_batch, exact=True)
     if jax.default_backend() == "tpu" and not jax.config.jax_enable_x64:
         from ..ops.pallas_pair_beam_batch import pair_beam_pallas_batch
         return pair_beam_pallas_batch
@@ -605,7 +612,7 @@ def _batched_consensus(workloads, args, kind: str):
     wave — the TPU-native replacement for the reference's per-pair process
     pool. On TPU hardware the wave runs as the batched Pallas mega-kernel;
     elsewhere as the vmapped XLA engine (identical output, tested)."""
-    batch_fn = _batch_fn()
+    batch_fn = _batch_fn(exact=getattr(args, "exact", False))
     wave = max(int(args.threads), 1)
     out: list[str] = []
     for i in range(0, len(workloads), wave):
@@ -624,39 +631,70 @@ def _batched_consensus(workloads, args, kind: str):
     return out
 
 
+def _use_box_kernel() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+
+
+def batched_box_decode(flat_workloads, beam_width: int = 5):
+    """Decode a flat list of (y1, y2, env) anchor boxes. On TPU this is the
+    segmented box-batch Pallas kernel — hundreds of boxes per launch, each
+    lane running its boxes back-to-back, per-step cost independent of the
+    lane count (ops/pallas_box_beam.py). Boxes whose live span overflows
+    the kernel's static storage strip are rerouted through the general
+    lockstep kernel in length-sorted waves; off-TPU everything takes the
+    general/XLA path. Returns one sequence per box, in order."""
+    n = len(flat_workloads)
+    seqs: list = [None] * n
+    rest = list(range(n))
+    if _use_box_kernel():
+        from ..ops.pallas_box_beam import box_beam_pallas
+
+        box_seqs, overflow = box_beam_pallas(
+            flat_workloads, beam_width=beam_width)
+        for i, s in enumerate(box_seqs):
+            seqs[i] = s
+        rest = list(overflow)
+        if rest:
+            log.info("box kernel: %d/%d boxes overflowed the static strip; "
+                     "rerouting through the general kernel", len(rest), n)
+    if rest:
+        batch_fn = _batch_fn()
+        order = sorted(rest, key=lambda i: (len(flat_workloads[i][0])
+                                            + len(flat_workloads[i][1])))
+        wave = 32
+        for i in range(0, len(order), wave):
+            sel = order[i:i + wave]
+            out = batch_fn([flat_workloads[j] for j in sel],
+                           beam_width=beam_width)
+            for j, s in zip(sel, out):
+                seqs[j] = s
+    return seqs
+
+
 def _batched_box_consensus(box_lists, args, kind: str):
     """Anchored mode (--skip_matches): pool every pair's anchor boxes into
-    length-sorted lockstep waves — the inter-anchor boxes are tiny
-    independent consensus problems (p50 ~40 plan steps on real reads), so
-    hundreds of them ride one kernel launch as extra batch lanes. Returns
-    one list of box sequences per input pair, in order."""
-    batch_fn = _batch_fn()
-    flat = []  # (pair_idx, box_idx, workload)
+    one box-batch decode — the inter-anchor boxes are tiny independent
+    consensus problems (p50 ~40 plan steps on real reads), so hundreds of
+    them ride one segmented kernel launch as lane segments. Returns one
+    list of box sequences per input pair, in order."""
+    flat = []   # (pair_idx, box_idx)
+    wls = []
     for pi, boxes in enumerate(box_lists):
         for bi, wl in enumerate(boxes):
-            flat.append((pi, bi, wl))
-    # sort by a plan-length proxy so each wave's lanes are similar length
-    # (lockstep pads every lane to the wave's longest plan)
-    order = sorted(range(len(flat)),
-                   key=lambda i: len(flat[i][2][0]) + len(flat[i][2][1]))
-    wave = max(8 * int(args.threads), 32)
-    results: dict[tuple, str] = {}
-    for i in range(0, len(order), wave):
-        sel = order[i : i + wave]
-        chunk = [flat[j][2] for j in sel]
-        log.info(
-            "anchored consensus wave %d-%d/%d (one batched kernel launch)",
-            i, i + len(sel), len(order),
-        )
-        _t0 = time.perf_counter()
-        seqs = batch_fn(chunk, beam_width=args.beam_width)
-        timers.seconds["consensus_2d"] += time.perf_counter() - _t0
-        timers.add_work(
-            "consensus_2d",
-            float(sum(np.sum(env[:, 1] - env[:, 0]) for _, _, env in chunk)),
-        )
-        for j, s in zip(sel, seqs):
-            results[flat[j][:2]] = s
+            flat.append((pi, bi))
+            wls.append(wl)
+    log.info("anchored consensus: %d boxes across %d pairs (box-batch "
+             "kernel)", len(wls), len(box_lists))
+    _t0 = time.perf_counter()
+    seqs = batched_box_decode(wls, beam_width=args.beam_width)
+    timers.seconds["consensus_2d"] += time.perf_counter() - _t0
+    timers.add_work(
+        "consensus_2d",
+        float(sum(np.sum(env[:, 1] - env[:, 0]) for _, _, env in wls)),
+    )
+    results = {key: s for key, s in zip(flat, seqs)}
     return [[results[(pi, bi)] for bi in range(len(boxes))]
             for pi, boxes in enumerate(box_lists)]
 
@@ -671,7 +709,9 @@ def _batchable(args, kind: str) -> bool:
         and kind == "poreover"
         and args.method == "envelope"
         and not getattr(args, "debug_envelope", False)
-        and not getattr(args, "exact", False)
+        # --exact batches through the XLA graveyard engine, but not in
+        # anchored mode (box pooling is windowed-memo Pallas territory)
+        and not (getattr(args, "exact", False) and args.skip_matches)
         and args.threads > 1
     )
 

@@ -50,8 +50,6 @@ CONT0, CONT1 = 3, 4
 
 # emission-ring refresh cadence (steps); N_pad is always a multiple of this
 RREF = 512
-# storage eviction-shift cadence (steps)
-RSHIFT = 128
 
 _M1 = np.int32(np.uint32(2654435761).astype(np.int32))
 _M2 = np.int32(40503)
@@ -124,12 +122,7 @@ def _gather_f32(oh_ref, x, BC: int):
 
 def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                   L1: int, L2: int, K: int = 1, NTOT: int = 0,
-                  RING0: int = 2048, RING1: int = 2048,
-                  USE_RINGS: bool = True, HAS_CONT: bool = True):
-    # USE_RINGS / HAS_CONT compile the f0bc6dc VMEM measures (HBM emission
-    # rings, CONT continuation-step handling) OUT of the step body when the
-    # host proves they are not needed — always-on they taxed the small-B
-    # path ~40% (the r02->r03 pair regression, VERDICT r3 item 2)
+                  RING0: int = 2048, RING1: int = 2048):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -220,40 +213,33 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         # sweep-all steps (MAIN + CONT parts): sweep every valid table row
         # and update scores; CONT parts leave the table/storage permutation
         # untouched (is_main stays the gate for those)
-        if HAS_CONT:
-            is_swall = scal_vec(
-                [jnp.where((s == MAIN) | (s >= CONT0), 1.0, 0.0)
-                 for s in stype], 0.0)
-        else:
-            is_swall = is_main
+        is_swall = scal_vec(
+            [jnp.where((s == MAIN) | (s >= CONT0), 1.0, 0.0)
+             for s in stype], 0.0)
         is_main_r = jnp.zeros((BC, 1), jnp.float32)
         c0cont_r = jnp.zeros((BC, 1), jnp.float32)
         c1cont_r = jnp.zeros((BC, 1), jnp.float32)
         for b in range(B):
             is_main_r = jnp.where(
                 rblk == b, jnp.where(stype[b] == MAIN, 1.0, 0.0), is_main_r)
-            if HAS_CONT:
-                c0cont_r = jnp.where(
-                    rblk == b, jnp.where(stype[b] == CONT0, 1.0, 0.0),
-                    c0cont_r)
-                c1cont_r = jnp.where(
-                    rblk == b, jnp.where(stype[b] == CONT1, 1.0, 0.0),
-                    c1cont_r)
+            c0cont_r = jnp.where(
+                rblk == b, jnp.where(stype[b] == CONT0, 1.0, 0.0), c0cont_r)
+            c1cont_r = jnp.where(
+                rblk == b, jnp.where(stype[b] == CONT1, 1.0, 0.0), c1cont_r)
 
         # ------------------------------------------------------------------
         @pl.when(i == 0)
         def _init():
             # fill both emission rings from the start of the (HBM) planes;
             # per-pair refreshes slide them forward as eviction anchors rise
-            if USE_RINGS:
-                cp0 = pltpu.make_async_copy(
-                    y1_ref.at[:, pl.ds(0, RING0)], yr0, dma_sem.at[4])
-                cp1 = pltpu.make_async_copy(
-                    y2_ref.at[:, pl.ds(0, RING1)], yr1, dma_sem.at[5])
-                cp0.start()
-                cp1.start()
-                cp0.wait()
-                cp1.wait()
+            cp0 = pltpu.make_async_copy(
+                y1_ref.at[:, pl.ds(0, RING0)], yr0, dma_sem.at[4])
+            cp1 = pltpu.make_async_copy(
+                y2_ref.at[:, pl.ds(0, RING1)], yr1, dma_sem.at[5])
+            cp0.start()
+            cp1.start()
+            cp0.wait()
+            cp1.wait()
             mx0s[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
             mx1s[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
             for b in range(2 * B):
@@ -277,14 +263,12 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             li1 = jax.lax.broadcasted_iota(jnp.int32, (BC, S1), 1)
             acc0 = st0[:, :]
             acc1 = st1[:, :]
-            ysrc0 = yr0 if USE_RINGS else y1_ref
-            ysrc1 = yr1 if USE_RINGS else y2_ref
             for b in range(B):
                 for c in range(A):
                     acc0 = jnp.where((rr == b * CP + c) & (li0 == 128),
-                                     ysrc0[8 * b + c, 0], acc0)
+                                     yr0[8 * b + c, 0], acc0)
                     acc1 = jnp.where((rr == b * CP + c) & (li1 == 128),
-                                     ysrc1[8 * b + c, 0], acc1)
+                                     yr1[8 * b + c, 0], acc1)
             st0[:, :] = acc0
             st1[:, :] = acc1
 
@@ -301,19 +285,17 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         sco = SCO[:, :]
 
         avail = val > 0
+        win = jnp.full((PB, LN), -1, jnp.int32)
         wmatch = jnp.zeros((PB, LN), jnp.float32)
+        wk1 = jnp.zeros((PB, LN), jnp.int32)
+        wk2 = jnp.zeros((PB, LN), jnp.int32)
+        wpk1 = jnp.zeros((PB, LN), jnp.int32)
+        wpk2 = jnp.zeros((PB, LN), jnp.int32)
+        wch = jnp.zeros((PB, LN), jnp.int32)
+        wpch = jnp.full((PB, LN), -1, jnp.int32)
+        wokv = jnp.zeros((PB, LN), jnp.int32)
 
-        # winner selection: the loop keeps only what the next iteration
-        # needs (masked max -> first lane -> avail update); winner fields
-        # come out as [PB, 1] per-w columns saved in Python lists and are
-        # placed into the W*A child layout in one pass below — the previous
-        # per-iteration full-lane scatter + from_w re-gather double hop
-        # measured ~30us/step at B=16. ch/pch are tiny ints picked as ONE
-        # packed masked sum.
         BIG = jnp.int32(LN + 1)
-        chpack = chs | ((pchs + 1) << 8)
-        firsts, hass, kw1s, kw2s, pk1s, pk2s, cps = (
-            [], [], [], [], [], [], [])
         for w in range(W):
             s_m = jnp.where(avail, sco, _NEG)
             has = jnp.max(jnp.where(avail, 1.0, 0.0), axis=1,
@@ -330,14 +312,17 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             kw2 = pick(k2)
             keq = (k1 == kw1) & (k2 == kw2)
             wmatch = jnp.where(keq & (val > 0) & has, 1.0, wmatch)
-            avail = avail & ~keq
-            firsts.append(first)
-            hass.append(has)
-            kw1s.append(kw1)
-            kw2s.append(kw2)
-            pk1s.append(pick(pk1))
-            pk2s.append(pick(pk2))
-            cps.append(pick(chpack))
+            avail = avail & ((k1 != kw1) | (k2 != kw2))
+
+            wl = lane == w
+            win = jnp.where(wl, jnp.where(has, first, -1), win)
+            wokv = jnp.where(wl, jnp.where(has, 1, 0), wokv)
+            wk1 = jnp.where(wl, kw1, wk1)
+            wk2 = jnp.where(wl, kw2, wk2)
+            wpk1 = jnp.where(wl, pick(pk1), wpk1)
+            wpk2 = jnp.where(wl, pick(pk2), wpk2)
+            wch = jnp.where(wl, pick(chs), wch)
+            wpch = jnp.where(wl, pick(pchs), wpch)
 
         # ==================================================================
         # MAIN new table (lane layout), merged with unchanged run table
@@ -347,26 +332,21 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         is_stay = lane < W
         is_child = (lane >= W) & (lane < C)
 
-        pw_k1 = jnp.zeros((PB, LN), jnp.int32)
-        pw_k2 = jnp.zeros((PB, LN), jnp.int32)
-        pw_pk1 = jnp.zeros((PB, LN), jnp.int32)
-        pw_pk2 = jnp.zeros((PB, LN), jnp.int32)
-        pw_cp = jnp.zeros((PB, LN), jnp.int32)
-        pw_oki = jnp.zeros((PB, LN), jnp.int32)
-        pw_src = jnp.zeros((PB, LN), jnp.int32)
-        for w in range(W):
-            sel = wofj == w
-            selok = sel & hass[w]
-            pw_k1 = jnp.where(sel, kw1s[w], pw_k1)
-            pw_k2 = jnp.where(sel, kw2s[w], pw_k2)
-            pw_pk1 = jnp.where(sel, pk1s[w], pw_pk1)
-            pw_pk2 = jnp.where(sel, pk2s[w], pw_pk2)
-            pw_cp = jnp.where(sel, cps[w], pw_cp)
-            pw_oki = jnp.where(selok, 1, pw_oki)
-            pw_src = jnp.where(selok, firsts[w], pw_src)
-        pw_ch = pw_cp & 255
-        pw_pch = (pw_cp >> 8) - 1
-        pw_ok = pw_oki > 0
+        def from_w(xw, default=0):
+            out = jnp.full((PB, LN), default, xw.dtype)
+            for w in range(W):
+                xv = jnp.sum(jnp.where(lane == w, xw, 0), axis=1,
+                             keepdims=True)
+                out = jnp.where(wofj == w, xv, out)
+            return out
+
+        pw_k1 = from_w(wk1)
+        pw_k2 = from_w(wk2)
+        pw_pk1 = from_w(wpk1)
+        pw_pk2 = from_w(wpk2)
+        pw_ch = from_w(wch)
+        pw_pch = from_w(wpch)
+        pw_ok = from_w(wokv) > 0
 
         ck1 = pw_k1 * _M1 + (cofj + 1)
         ck2 = pw_k2 * _M2 + (cofj + 1)
@@ -427,10 +407,14 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         stay_r = rslot < W
         child_r = (rslot >= W) & (rslot < C)
         wofj_r = jnp.where(child_r, (rslot - W) // A, rslot)
-        pw_src_r = to_rows(pw_src)
+        pw_src_r = jnp.sum(
+            jnp.where(laneB == wofj_r, jnp.maximum(rep_rows(win), 0), 0),
+            axis=1, keepdims=True)
         # 0/1 int masks throughout: Mosaic cannot lower selects between
         # i1-valued vectors (arith.trunci i8->i1)
-        pw_ok_r = to_rows(pw_oki)  # int32 0/1
+        pw_ok_r = jnp.sum(
+            jnp.where(laneB == wofj_r, rep_rows(wokv), 0),
+            axis=1, keepdims=True)  # int32 0/1
 
         # stale-row source: stay rows <- winner slot; child rows <- first
         # OLD slot holding the child key (if any)
@@ -533,11 +517,9 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         def _span_buckets(S):
             # 256 is the floor: hiw_s tracking never reports less (init
-            # 2*CH; refresh keeps >= one chunk + CH). 384 matters since
-            # block-scheduled eviction: spans drift up to +RSHIFT between
-            # shift boundaries, so typical steps sit at 256-384
-            return sorted({min(256, S), min(384, S), min(512, S),
-                           min(1024, S), S})
+            # 2*CH; refresh keeps >= one chunk + CH), and with the tight
+            # plan anchors most steps sit exactly there
+            return sorted({min(256, S), min(512, S), min(1024, S), S})
 
         def permute(st, ps, S, span):
             # span-restricted: lanes >= the live span are -inf in every
@@ -565,22 +547,50 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         def sweep_axis(st, ps, y_ref, yr, RING, los, his, WF, S, L, so_base,
                        plan_so):
-            # storage offsets are constant within a step: eviction shifts
-            # run in the uniform block-scheduled pass every RSHIFT steps
-            # (_storage_shift below) — a per-step conditional shift region
-            # per pair measurably serializes (~2us/pair/step). The host
-            # sizes Wst so no window outgrows storage between boundaries.
-            new_so = [so_s[so_base + b] for b in range(B)]
+            new_so = []
             for b in range(B):
+                so_b = so_s[so_base + b]
+                need = his[b] - WF
+                cand = ((need + 127) // 128) * 128
+                # tight anchor: the plan's suffix-min proof says nothing at
+                # or after this step reads below plan_so[b] — evicting up
+                # to it keeps the live span short (see driver rows 5/6)
+                ns = pl.multiple_of(
+                    jnp.maximum(jnp.maximum(so_b, cand), plan_so[b]), 128)
+                d = pl.multiple_of(ns - so_b, 128)
+
+                @pl.when(d != 0)
+                def _shift(b=b, d=d, st=st, ps=ps, S=S):
+                    nblk = S // CH
+                    for ref in (st, ps):
+                        for j in range(nblk):
+                            srcp = pl.multiple_of(j * CH + d, 128)
+
+                            @pl.when(srcp <= S - CH)
+                            def _cp(j=j, srcp=srcp, ref=ref, b=b):
+                                tmp[b * CP:(b + 1) * CP,
+                                    j * CH:(j + 1) * CH] = ref[
+                                        b * CP:(b + 1) * CP, pl.ds(srcp, CH)]
+
+                            @pl.when(srcp > S - CH)
+                            def _fl(j=j, ref=ref, b=b):
+                                tmp[b * CP:(b + 1) * CP,
+                                    j * CH:(j + 1) * CH] = jnp.full(
+                                        (CP, CH), _NEG, jnp.float32)
+                        ref[b * CP:(b + 1) * CP, :] = tmp[
+                            b * CP:(b + 1) * CP, pl.ds(0, S)]
+
+                so_s[so_base + b] = ns
+                new_so.append(ns)
                 # live-span tracking (aligned-up exclusive end of written
                 # lanes) for the span-restricted permute/refresh gathers
+                hw = jnp.maximum(hiw_s[so_base + b] - d, 0)
                 wid = his[b] - los[b]
                 hiw_s[so_base + b] = jnp.where(
                     wid > 0,
                     jnp.maximum(
-                        hiw_s[so_base + b],
-                        ((his[b] - new_so[b] + 127) // 128) * 128 + CH),
-                    hiw_s[so_base + b])
+                        hw, ((his[b] - ns + 127) // 128) * 128 + CH),
+                    hw)
 
             ac0 = [pl.multiple_of((los[b] // 128) * 128, 128)
                    for b in range(B)]
@@ -589,8 +599,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
             for b in range(1, B):
                 n_chunks = jnp.maximum(n_chunks, nchk[b])
 
-            ybases = ([ybs_s[so_base + b] for b in range(B)]
-                      if USE_RINGS else None)
+            ybases = [ybs_s[so_base + b] for b in range(B)]
 
             lo_r = jnp.zeros((BC, 1), jnp.int32)
             hi_r = jnp.zeros((BC, 1), jnp.int32)
@@ -628,12 +637,9 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                         jnp.minimum(c_lo_u, L - CH), 128)  # clamped (memory)
                     rows = slice(b * CP, (b + 1) * CP)
                     yrows = slice(8 * b, 8 * (b + 1))
-                    if USE_RINGS:
-                        ypos = pl.multiple_of(
-                            jnp.clip(c_lo - ybases[b], 0, RING - CH), 128)
-                        yw = yr[yrows, pl.ds(ypos, CH)]
-                    else:
-                        yw = y_ref[yrows, pl.ds(c_lo, CH)]
+                    ypos = pl.multiple_of(
+                        jnp.clip(c_lo - ybases[b], 0, RING - CH), 128)
+                    yw = yr[yrows, pl.ds(ypos, CH)]
                     em_b = jnp.full((CP, CH), _NEG, jnp.float32)
                     chb = ch_r[b * CP:(b + 1) * CP, :]
                     for c in range(A):
@@ -779,13 +785,10 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         # per-axis window maxes persist across CONT parts: MAIN resets,
         # CONT0/CONT1 accumulate their axis, runs leave them alone — so
         # max(parts) + other-axis max == the unsplit step's score
-        if HAS_CONT:
-            mx0s[:, :] = jnp.where(
-                is_main_r > 0, mx[:, :],
-                jnp.where(c0cont_r > 0, jnp.maximum(mx0s[:, :], mx[:, :]),
-                          mx0s[:, :]))
-        else:
-            mx0s[:, :] = mx[:, :]
+        mx0s[:, :] = jnp.where(
+            is_main_r > 0, mx[:, :],
+            jnp.where(c0cont_r > 0, jnp.maximum(mx0s[:, :], mx[:, :]),
+                      mx0s[:, :]))
         sweep_axis(st1, ps1, y2_ref, yr1, RING1, blo, bhi, WF1, S1, L2, B,
                    pso1)
 
@@ -797,79 +800,33 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         # anchor, so the refresh needs NO per-pair conditionals (a
         # conditional DMA per pair per step measurably serializes, and a
         # nested conditional variant deadlocked the device).
-        if USE_RINGS:
-            @pl.when(i % RREF == RREF - 1)
-            def _ring_refresh():
-                for b in range(B):
-                    nb0 = pl.multiple_of(
-                        jnp.clip(pso0[b], 0, L1 - RING0), 128)
-                    nb1 = pl.multiple_of(
-                        jnp.clip(pso1[b], 0, L2 - RING1), 128)
-                    ybs_s[b] = nb0
-                    ybs_s[B + b] = nb1
-                    cp0 = pltpu.make_async_copy(
-                        y1_ref.at[pl.ds(8 * b, 8), pl.ds(nb0, RING0)],
-                        yr0.at[pl.ds(8 * b, 8), :], dma_sem.at[4])
-                    cp1 = pltpu.make_async_copy(
-                        y2_ref.at[pl.ds(8 * b, 8), pl.ds(nb1, RING1)],
-                        yr1.at[pl.ds(8 * b, 8), :], dma_sem.at[5])
-                    cp0.start()
-                    cp1.start()
-                    cp0.wait()
-                    cp1.wait()
+        @pl.when(i % RREF == RREF - 1)
+        def _ring_refresh():
+            for b in range(B):
+                nb0 = pl.multiple_of(
+                    jnp.clip(pso0[b], 0, L1 - RING0), 128)
+                nb1 = pl.multiple_of(
+                    jnp.clip(pso1[b], 0, L2 - RING1), 128)
+                ybs_s[b] = nb0
+                ybs_s[B + b] = nb1
+                cp0 = pltpu.make_async_copy(
+                    y1_ref.at[pl.ds(8 * b, 8), pl.ds(nb0, RING0)],
+                    yr0.at[pl.ds(8 * b, 8), :], dma_sem.at[4])
+                cp1 = pltpu.make_async_copy(
+                    y2_ref.at[pl.ds(8 * b, 8), pl.ds(nb1, RING1)],
+                    yr1.at[pl.ds(8 * b, 8), :], dma_sem.at[5])
+                cp0.start()
+                cp1.start()
+                cp0.wait()
+                cp1.wait()
 
-        if HAS_CONT:
-            mx1s[:, :] = jnp.where(
-                is_main_r > 0, mx[:, :],
-                jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
-                          mx1s[:, :]))
-
-        # ---- storage eviction, block-scheduled: every RSHIFT steps shift
-        # each pair's window planes up to its current eviction anchor
-        # (columns below it are provably never read — see _plan_anchors).
-        # Between boundaries the live span grows by at most the window
-        # drift, which the host folds into Wst (_plan_spans). Uniform
-        # cadence keeps the per-step path free of conditional shift
-        # regions; the inner per-pair conditions run once per RSHIFT steps.
-        @pl.when(i % RSHIFT == RSHIFT - 1)
-        def _storage_shift():
-            for so_base, stx, psx, Sx, pso in ((0, st0, ps0, S0, pso0),
-                                               (B, st1, ps1, S1, pso1)):
-                for b in range(B):
-                    so_b = so_s[so_base + b]
-                    ns = pl.multiple_of(
-                        jnp.maximum(so_b, pso[b]), 128)
-                    d = pl.multiple_of(ns - so_b, 128)
-
-                    @pl.when(d != 0)
-                    def _shift(b=b, d=d, ns=ns, stx=stx, psx=psx, Sx=Sx,
-                               so_base=so_base):
-                        nblk = Sx // CH
-                        for ref in (stx, psx):
-                            for j in range(nblk):
-                                srcp = pl.multiple_of(j * CH + d, 128)
-
-                                @pl.when(srcp <= Sx - CH)
-                                def _cp(j=j, srcp=srcp, ref=ref, b=b):
-                                    tmp[b * CP:(b + 1) * CP,
-                                        j * CH:(j + 1) * CH] = ref[
-                                            b * CP:(b + 1) * CP,
-                                            pl.ds(srcp, CH)]
-
-                                @pl.when(srcp > Sx - CH)
-                                def _fl(j=j, ref=ref, b=b):
-                                    tmp[b * CP:(b + 1) * CP,
-                                        j * CH:(j + 1) * CH] = jnp.full(
-                                            (CP, CH), _NEG, jnp.float32)
-                            ref[b * CP:(b + 1) * CP, :] = tmp[
-                                b * CP:(b + 1) * CP, pl.ds(0, Sx)]
-                        so_s[so_base + b] = ns
-                        hiw_s[so_base + b] = jnp.maximum(
-                            hiw_s[so_base + b] - d, 0)
+        mx1s[:, :] = jnp.where(
+            is_main_r > 0, mx[:, :],
+            jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
+                      mx1s[:, :]))
 
         # ---- scores: rows -> lanes bridge via transpose ----
-        # without CONT steps mx still holds the axis-1 sweep max directly
-        tot_r = mx0s[:, :] + (mx1s[:, :] if HAS_CONT else mx[:, :])
+        tot_r = mx0s[:, :] + mx1s[:, :]  # [BC, 1]
         colIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 1)
         rowIota = jax.lax.broadcasted_iota(jnp.int32, (LN, PB), 0)
         acc = jnp.full((LN, PB), _NEG, jnp.float32)
@@ -903,7 +860,7 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         packed = scal_vec([jnp.minimum(s, 3) for s in stype], C0RUN,
                           jnp.int32)
         for w in range(W):
-            wv = jnp.where(hass[w], firsts[w], -1)  # [PB, 1]
+            wv = jnp.sum(jnp.where(lane == w, win, 0), axis=1, keepdims=True)
             packed = packed | ((wv + 1) << (2 + 6 * w))
         pv_s[:, :] = jnp.where(lane == i % 128, packed, pv_s[:, :])
 
@@ -1005,22 +962,13 @@ def _plan_anchors(p: dict) -> tuple[np.ndarray, np.ndarray]:
 
 def _plan_spans(p: dict, sm0: np.ndarray, sm1: np.ndarray) -> tuple[int, int]:
     """Required live storage span per axis: max over sweeping steps of
-    (window hi - storage offset). The storage offset at step t is the
-    eviction anchor at the last RSHIFT boundary before t (shifts are
-    block-scheduled), -128 before the first boundary. The anchors rise
-    inside split windows, but the walk re-reads back into wide
-    transposed-envelope columns, so this span — not the capped window
-    width — is what storage must hold."""
-    def blocked_base(sm: np.ndarray) -> np.ndarray:
-        base = np.full(len(sm), -128, np.int64)
-        for k0 in range(RSHIFT, len(sm), RSHIFT):
-            base[k0:k0 + RSHIFT] = sm[k0 - 1]
-        return np.maximum.accumulate(base)
-
+    (window hi - eviction anchor). The anchors rise inside split windows,
+    but the walk re-reads back into wide transposed-envelope columns, so
+    the span — not the capped window width — is what storage must hold."""
     sw0 = (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"])
     sw1 = (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"])
-    s0 = int(np.where(sw0, p["a_hi"] - blocked_base(sm0), 0).max(initial=0))
-    s1 = int(np.where(sw1, p["b_hi"] - blocked_base(sm1), 0).max(initial=0))
+    s0 = int(np.where(sw0, p["a_hi"] - sm0, 0).max(initial=0))
+    s1 = int(np.where(sw1, p["b_hi"] - sm1, 0).max(initial=0))
     return s0, s1
 
 
@@ -1037,33 +985,27 @@ def _pack_plane(y: np.ndarray, L: int) -> np.ndarray:
 
 @partial(jax.jit,
          static_argnames=("B", "W", "A", "Wst0", "Wst1", "CH", "L1", "L2",
-                          "K", "RING0", "RING1", "USE_RINGS", "HAS_CONT"))
+                          "K", "RING0", "RING1"))
 def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
                 Wst0: int, Wst1: int, CH: int, L1: int, L2: int, K: int = 1,
-                RING0: int = 2048, RING1: int = 2048,
-                USE_RINGS: bool = True, HAS_CONT: bool = True):
+                RING0: int = 2048, RING1: int = 2048):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = plan_mat.shape[1]
-    # grid=(N // K): a non-dividing K would silently drop the last N % K
-    # steps of every plan
-    assert N % K == 0, f"steps_per_grid {K} must divide padded plan {N}"
-    kernel, C, CP, PB, BC, S0, S1 = _build_kernel(
-        B, W, A, Wst0, Wst1, CH, L1, L2, K=K, NTOT=N,
-        RING0=RING0, RING1=RING1, USE_RINGS=USE_RINGS, HAS_CONT=HAS_CONT)
+    kernel, C, CP, PB, BC, S0, S1 = _build_kernel(B, W, A, Wst0, Wst1, CH,
+                                                  L1, L2, K=K, NTOT=N,
+                                                  RING0=RING0, RING1=RING1)
 
-    # emission planes: VMEM-resident when they fit the budget (fastest —
-    # the r02 path); otherwise HBM, staged through per-pair VMEM rings
-    # (yr0/yr1) refreshed by anchor-gated DMAs so VMEM no longer scales
-    # with read length x batch
-    y_space = pltpu.ANY if USE_RINGS else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(N // K,),
+        # emission planes live in HBM; the kernel stages them through
+        # per-pair VMEM rings (yr0/yr1) refreshed by anchor-gated DMAs, so
+        # VMEM no longer scales with read length x batch
         in_specs=[
-            pl.BlockSpec(memory_space=y_space),
-            pl.BlockSpec(memory_space=y_space),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         # outputs live in HBM and are filled by explicit async DMAs from
@@ -1100,11 +1042,8 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((PB, 128), jnp.int32),     # pv_s (packed prov accum)
             pltpu.SemaphoreType.DMA((6,)),        # dma_sem
             pltpu.SMEM((2 * B,), jnp.int32),      # hiw_s (live spans)
-            # emission rings (dummy-sized when planes are VMEM-resident)
-            pltpu.VMEM((8 * B, RING0) if USE_RINGS else (8, 128),
-                       jnp.float32),              # yr0
-            pltpu.VMEM((8 * B, RING1) if USE_RINGS else (8, 128),
-                       jnp.float32),              # yr1
+            pltpu.VMEM((8 * B, RING0), jnp.float32),  # yr0 (emission ring)
+            pltpu.VMEM((8 * B, RING1), jnp.float32),  # yr1
             pltpu.SMEM((2 * B,), jnp.int32),      # ybs_s (ring bases)
         ],
     )
@@ -1148,47 +1087,13 @@ def _traceback(words: np.ndarray, sco: np.ndarray, valid: np.ndarray,
     return "".join(alphabet[c] for c in out)
 
 
-# VMEM the kernel may allocate per launch (vmem_limit is 100 MB)
-_VMEM_BUDGET = 88 * 1024 * 1024
-
-
-def _vmem_est(B: int, Wst0: int, Wst1: int, RING0: int, RING1: int,
-              L1: int, L2: int, use_rings: bool) -> int:
-    """Scratch bytes _run_kernel will request (mirrors scratch_shapes).
-    With use_rings=False the emission planes are VMEM-resident inputs and
-    count in full; with rings only the ring buffers count."""
-    CH = 128
-    CP, PB = 32, max(B, 8)
-    BC = B * CP
-    S0 = ((Wst0 + 3 * CH + 127) // 128) * 128
-    S1 = ((Wst1 + 3 * CH + 127) // 128) * 128
-    b = 2 * BC * (S0 + S1) * 4              # st/ps both axes
-    b += 8 * PB * 128 * 4                   # K1..SCO
-    b += 4 * BC * 128 * 4                   # ohP ohFro ohG ohG2
-    b += 4 * BC * 4                         # seeds mx0s mx mx1s
-    b += BC * max(S0, S1) * 4               # tmp
-    b += 2 * PB * 128 * 4                   # pv_s + slack
-    if use_rings:
-        b += 8 * B * (RING0 + RING1) * 4    # emission rings
-    else:
-        b += 8 * B * (L1 + L2) * 4          # VMEM-resident emission planes
-    return b
-
-
 def pair_beam_pallas_batch(pairs, beam_width: int = 5,
                            alphabet: str = "ACGT",
-                           steps_per_grid: int = 2) -> list[str]:
+                           steps_per_grid: int = 1) -> list[str]:
     """Batched Pallas row_col pair beam search (plain CTC).
 
     pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
     plans are padded to the longest with zero-width catch-runs.
-
-    The wide-window split cap is chosen adaptively: splitting bounds VMEM
-    (storage strips + emission rings) but lengthens the plan with CONT
-    steps (~2x on the bundled pairs at cap 256 — the r03 regression), so
-    the loosest cap whose scratch fits the VMEM budget wins. Every cap
-    yields bit-identical output (split boundaries sit on the kernel's own
-    128-column chunk grid).
     """
     from .beam2d_planned import build_plan
 
@@ -1197,7 +1102,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
     W = beam_width
     CH = 128
 
-    raw_plans = []
+    plans = []
     ys = []
     for y1, y2, envelope in pairs:
         y1 = np.asarray(y1)
@@ -1206,19 +1111,41 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
         if envelope is None:
             envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
         env = np.asarray(envelope, dtype=np.int64)[:U]
-        raw_plans.append(build_plan(env, U, V))
+        plans.append(_split_wide(build_plan(env, U, V)))
         ys.append((y1, y2))
 
-    T1 = max(len(y1) for y1, _ in ys)
-    T2 = max(len(y2) for _, y2 in ys)
-    L1 = ((T1 + CH + 8 + 127) // 128) * 128
-    L2 = ((T2 + CH + 8 + 127) // 128) * 128
+    N = max(len(p["type"]) for p in plans)
+    N_pad = ((N + 511) // 512) * 512
+
+    anchors = [_plan_anchors(p) for p in plans]
+    spans = [_plan_spans(p, sm0, sm1)
+             for p, (sm0, sm1) in zip(plans, anchors)]
+    w0 = max(
+        int(np.where(p["type"] != C1RUN, p["a_hi"] - p["a_lo"], 0).max())
+        for p in plans)
+    w1 = max(
+        int(np.where(p["type"] != C0RUN, p["b_hi"] - p["b_lo"], 0).max())
+        for p in plans)
+    s0 = max(s[0] for s in spans)
+    s1 = max(s[1] for s in spans)
 
     def bucket(x, buckets=(384, 768, 1536, 2048, 3072)):
         for bk in buckets:
             if x <= bk:
                 return bk
         return ((x + 1023) // 1024) * 1024
+
+    # storage must hold the full live span [anchor, window hi); the kernel's
+    # forced-eviction fallback (his - WF) must never rise past the anchor,
+    # which holds when Wst + 2*CH >= span — bucket(span) is comfortably that
+    Wst0 = bucket(max(w0, s0, 1) + 2)
+    Wst1 = bucket(max(w1, s1, 1) + 2)
+
+    T1 = max(len(y1) for y1, _ in ys)
+    T2 = max(len(y2) for _, y2 in ys)
+    L1 = ((T1 + CH + 8 + 127) // 128) * 128
+    L2 = ((T2 + CH + 8 + 127) // 128) * 128
+    Lp = ((N_pad + 127) // 128) * 128
 
     # emission-ring sizes: every RREF-step block's reads must fit the ring
     # filled from the previous block boundary's eviction anchor (base 0 for
@@ -1236,60 +1163,14 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
                 need = max(need, blk_need - blk_base)
         return ((need + 1023) // 1024) * 1024
 
-    def geometry(cap):
-        plans = (raw_plans if cap is None
-                 else [_split_wide(p, cap=cap) for p in raw_plans])
-        anchors = [_plan_anchors(p) for p in plans]
-        spans = [_plan_spans(p, sm0, sm1)
-                 for p, (sm0, sm1) in zip(plans, anchors)]
-        w0 = max(
-            int(np.where(p["type"] != C1RUN,
-                         p["a_hi"] - p["a_lo"], 0).max())
-            for p in plans)
-        w1 = max(
-            int(np.where(p["type"] != C0RUN,
-                         p["b_hi"] - p["b_lo"], 0).max())
-            for p in plans)
-        s0 = max(s[0] for s in spans)
-        s1 = max(s[1] for s in spans)
-        # storage must hold the full live span [anchor, window hi); the
-        # kernel's forced-eviction fallback (his - WF) must never rise
-        # past the anchor, which holds when Wst + 2*CH >= span
-        Wst0 = bucket(max(w0, s0, 1) + 2)
-        Wst1 = bucket(max(w1, s1, 1) + 2)
-        RING0 = min(ring_required(
-            [(p["a_lo"], p["a_hi"],
-              (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"]), sm0)
-             for p, (sm0, _) in zip(plans, anchors)]), L1)
-        RING1 = min(ring_required(
-            [(p["b_lo"], p["b_hi"],
-              (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"]), sm1)
-             for p, (_, sm1) in zip(plans, anchors)]), L2)
-        return plans, anchors, Wst0, Wst1, RING0, RING1
-
-    # pick the loosest configuration that fits VMEM: resident planes beat
-    # rings, an unsplit plan beats CONT splitting (each tighter setting
-    # costs per-step time; all settings are bit-identical in output)
-    chosen = None
-    for cap in (None, 1024, 512, 256):
-        plans, anchors, Wst0, Wst1, RING0, RING1 = geometry(cap)
-        for use_rings in (False, True):
-            if _vmem_est(B, Wst0, Wst1, RING0, RING1, L1, L2,
-                         use_rings) <= _VMEM_BUDGET:
-                chosen = (plans, anchors, Wst0, Wst1, RING0, RING1,
-                          use_rings)
-                break
-        if chosen:
-            break
-    if chosen is None:
-        # last resort: tightest split with rings, let Mosaic arbitrate
-        chosen = (plans, anchors, Wst0, Wst1, RING0, RING1, True)
-    plans, anchors, Wst0, Wst1, RING0, RING1, use_rings = chosen
-    has_cont = any(bool((p["type"] >= CONT0).any()) for p in plans)
-
-    N = max(len(p["type"]) for p in plans)
-    N_pad = ((N + 511) // 512) * 512
-    Lp = ((N_pad + 127) // 128) * 128
+    RING0 = min(ring_required(
+        [(p["a_lo"], p["a_hi"],
+          (p["type"] != C1RUN) & (p["a_hi"] > p["a_lo"]), sm0)
+         for p, (sm0, _) in zip(plans, anchors)]), L1)
+    RING1 = min(ring_required(
+        [(p["b_lo"], p["b_hi"],
+          (p["type"] != C0RUN) & (p["b_hi"] > p["b_lo"]), sm1)
+         for p, (_, sm1) in zip(plans, anchors)]), L2)
 
     y1p = np.concatenate([_pack_plane(y1, L1) for y1, _ in ys])
     y2p = np.concatenate([_pack_plane(y2, L2) for _, y2 in ys])
@@ -1318,9 +1199,7 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
     prov, sco, valid = _run_kernel(
         jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat),
         B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid,
-        RING0=RING0 if use_rings else 128,
-        RING1=RING1 if use_rings else 128,
-        USE_RINGS=use_rings, HAS_CONT=has_cont)
+        RING0=RING0, RING1=RING1)
     PB = max(B, 8)
     # [n_blocks, PB, 128] packed words; pair b's step i word sits at
     # block i//128, row b, lane i%128

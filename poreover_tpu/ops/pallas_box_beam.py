@@ -614,40 +614,26 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                     ps[:, pl.ds(0, SP)] = jnp.where(
                         psmask_r > 0, pp, ps[:, pl.ds(0, SP)])
 
-        # ---- dynamic layer count from winner-space parent chains ----
-        # A swept row's parent is only ever another winner (children are
-        # key-extensions, never ancestors; lane order puts stays first for
-        # the min-lane match), so the max parent-chain depth over swept
-        # rows is computable with W^2 [PB,1] compares instead of the
-        # general kernel's 5 rounds of grouped one-hot matmuls: depth of
-        # winner w chains through the first winner holding its parent key;
-        # child rows (swept on MAIN/CONT steps) add one level.
-        wpar = []
-        for w in range(W):
-            p = jnp.full((PB, 1), -1, jnp.int32)
-            for w2 in range(W):
-                eq = ((kw1s[w2] == pk1s[w]) & (kw2s[w2] == pk2s[w])
-                      & hass[w2])
-                p = jnp.where((p < 0) & eq, w2, p)
-            root_w = (pk1s[w] == 0) & (pk2s[w] == 0)
-            wpar.append(jnp.where(root_w, -1, p))
-        dw = [jnp.ones((PB, 1), jnp.float32) for _ in range(W)]
-        for _ in range(W - 1):
-            ndw = []
-            for w in range(W):
-                pd = jnp.zeros((PB, 1), jnp.float32)
-                for w2 in range(W):
-                    pd = jnp.where(wpar[w] == w2, dw[w2], pd)
-                ndw.append(jnp.where(wpar[w] >= 0, 1.0 + pd, 1.0))
-            dw = ndw
-        mdw = jnp.zeros((PB, 1), jnp.float32)
-        for w in range(W):
-            mdw = jnp.maximum(mdw, jnp.where(hass[w], dw[w], 0.0))
-        swall_v = jnp.where((stype_v == MAIN) | (stype_v >= CONT0),
-                            1.0, 0.0)
-        nl_v = mdw[:B] + swall_v
+        # ---- dynamic layer count: exact row-space parent-chain depth ----
+        # Same computation as the general kernel (pallas_pair_beam_batch
+        # :751-757): iterate the sweep's own parent one-hot (ohG) so a
+        # swept row whose parent key is held only by a *child* row (prefix
+        # s = w+c+d: parent(s) is the child (w, c), not a winner) still
+        # counts its full chain. The earlier winner-space W^2 shortcut
+        # undercounted exactly that case (ADVICE r3), leaving the layer
+        # fori_loop un-converged. Depth values <= W+1 are exact in bf16.
+        dvec = jnp.ones((BC, 1), jnp.float32)
+        for _ in range(LAYERS - 1):
+            pdl = []
+            for g0 in range(0, BC, GW):
+                g1 = min(g0 + GW, BC)
+                pdl.append(_dotb(ohG[g0:g1, 0:g1 - g0].astype(jnp.bfloat16),
+                                 dvec[g0:g1].astype(jnp.bfloat16)))
+            pd = pdl[0] if len(pdl) == 1 else jnp.concatenate(pdl, 0)
+            dvec = jnp.where(pswept_r > 0, 1.0 + pd, 1.0)
+        dvec = jnp.where(sw_r > 0, dvec, 0.0)
         n_layers = jnp.minimum(
-            jnp.max(nl_v).astype(jnp.int32), LAYERS)
+            jnp.max(dvec).astype(jnp.int32), LAYERS)
 
         sweep_axis(st0, ps0, es0, alo_v, ahi_v, so0_v, hw0_v)
         # per-axis window maxes persist across CONT parts (general-kernel
@@ -728,6 +714,9 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # grid=(N // K): a non-dividing K would silently drop the last
+    # N % K steps — a tail box's FIN step (ADVICE r3)
+    assert N % K == 0, f"steps_per_grid {K} must divide padded plan {N}"
     kernel, C, CP, PB, BC = _build_kernel(B, W, A, L1, L2, K, N)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -844,13 +833,36 @@ def prepare_box(y1, y2, envelope, cap: int = 256):
                 fin=n, n=np_len, y1=y1, y2=y2, U=U, V=V)
 
 
+# VMEM budget for one launch (the kernel's vmem_limit is 112 MB; leave
+# headroom for Mosaic's own allocations)
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _vmem_est(B: int, L1: int, L2: int) -> int:
+    """Scratch bytes the kernel will request (mirrors _run_kernel's
+    scratch_shapes; ADVICE r3: yr0/yr1 grow with the packed lane length
+    and must be guarded against the VMEM budget)."""
+    CP = 32
+    BC, PB = B * CP, B
+    b = 4 * BC * S * 4                       # st0 ps0 st1 ps1
+    b += 8 * PB * 128 * 4                    # K1..SCO
+    b += (3 * BC * 128 + BC * 512) * 4       # ohP ohFro ohG2 + ohG
+    b += 4 * BC * 4 + 4 * B * 4              # seeds/mx*/so/hw vecs
+    b += 2 * 6 * B * S * 4                   # es0 es1
+    b += 6 * B * (L1 + L2) * 4               # yr0 yr1 (emission planes)
+    b += 8 * B * 128 * 4 + PB * 128 * 4      # plan_v pv_s
+    return b
+
+
 def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
                     B: int = 64, steps_per_grid: int = 2,
                     prepared=None):
     """Decode many (y1, y2, envelope) anchor boxes in one segmented
     launch. Returns (seqs, overflow_idx): seqs[i] is the consensus for
     box i or None when its span overflows the static strip (overflow
-    indices are also listed separately for the caller to reroute)."""
+    indices are also listed separately for the caller to reroute).
+    Workloads whose packed emission planes would blow the VMEM budget are
+    split into multiple launches transparently."""
     W = beam_width
     A = len(alphabet)
     n = len(boxes)
@@ -867,7 +879,30 @@ def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
     if not preps:
         return seqs, overflow
 
-    B = max(8, min(B, ((len(preps) + 7) // 8) * 8))
+    # VMEM guard: estimate the packed plane length at this B; if the
+    # launch would exceed the budget, split the box set into groups and
+    # launch each (every group repacks its own lanes)
+    tot1 = sum(_al(pb["U"] + 2) for _, pb in preps)
+    tot2 = sum(_al(pb["V"] + 2) for _, pb in preps)
+    Bp = max(8, min(B, ((len(preps) + 7) // 8) * 8))
+    est = _vmem_est(Bp, max(1024, tot1 // Bp + 512),
+                    max(1024, tot2 // Bp + 512))
+    if est > _VMEM_BUDGET and len(preps) > 1:
+        groups = max(2, (est + _VMEM_BUDGET - 1) // _VMEM_BUDGET)
+        step = (len(preps) + groups - 1) // groups
+        for g0 in range(0, len(preps), step):
+            sub = preps[g0:g0 + step]
+            sub_boxes = [boxes[idx] for idx, _ in sub]
+            sub_seqs, sub_over = box_beam_pallas(
+                sub_boxes, beam_width=beam_width, alphabet=alphabet,
+                B=B, steps_per_grid=steps_per_grid,
+                prepared=[pb for _, pb in sub])
+            for (idx, _), s in zip(sub, sub_seqs):
+                seqs[idx] = s
+            overflow.extend(sub[j][0] for j in sub_over)
+        return seqs, sorted(overflow)
+
+    B = Bp
     # LPT bin-packing on padded plan length
     order = sorted(range(len(preps)), key=lambda i: -preps[i][1]["n"])
     lanes = [[] for _ in range(B)]
@@ -879,6 +914,9 @@ def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
 
     N = _al(int(loads.max()))
     N_pad = ((N + 511) // 512) * 512
+    K = steps_per_grid
+    if N_pad % K:  # pad with zero-width no-ops so grid=(N//K) drops nothing
+        N_pad = ((N_pad + K - 1) // K) * K
     # per-lane emission bases
     el1 = np.zeros(B, np.int64)
     el2 = np.zeros(B, np.int64)

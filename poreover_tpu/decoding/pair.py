@@ -610,24 +610,47 @@ def _batched_consensus(workloads, args, kind: str):
     """Decode many prepared (y1, y2, envelope) consensus workloads in
     lockstep waves of ``args.threads`` through one batched kernel launch per
     wave — the TPU-native replacement for the reference's per-pair process
-    pool. On TPU hardware the wave runs as the batched Pallas mega-kernel;
-    elsewhere as the vmapped XLA engine (identical output, tested)."""
-    batch_fn = _batch_fn(exact=getattr(args, "exact", False))
+    pool. On TPU hardware the waves are software-pipelined through the
+    Pallas mega-kernel: wave i+1's host prep + H2D overlaps wave i's device
+    compute (prepare/launch/fetch split). Elsewhere the vmapped XLA engine
+    runs wave-at-a-time (identical output, tested)."""
+    import jax
+
+    exact = getattr(args, "exact", False)
     wave = max(int(args.threads), 1)
     out: list[str] = []
-    for i in range(0, len(workloads), wave):
-        chunk = workloads[i : i + wave]
-        log.info(
-            "consensus wave %d-%d/%d (one batched kernel launch)",
-            i, i + len(chunk), len(workloads),
+    chunks = [workloads[i:i + wave] for i in range(0, len(workloads), wave)]
+
+    _t0 = time.perf_counter()
+    if (not exact and jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64):
+        from ..ops.pallas_pair_beam_batch import (
+            fetch_prepared, launch_prepared, prepare_pairs,
         )
-        _t0 = time.perf_counter()
-        out.extend(batch_fn(chunk, beam_width=args.beam_width))
-        timers.seconds["consensus_2d"] += time.perf_counter() - _t0
-        timers.add_work(
-            "consensus_2d",
-            float(sum(np.sum(env[:, 1] - env[:, 0]) for _, _, env in chunk)),
-        )
+
+        pending = None
+        for i, chunk in enumerate(chunks):
+            log.info("consensus wave %d/%d (pipelined Pallas launch)",
+                     i + 1, len(chunks))
+            prep = prepare_pairs(chunk, beam_width=args.beam_width)
+            outs = launch_prepared(prep)
+            if pending is not None:
+                out.extend(fetch_prepared(*pending))
+            pending = (prep, outs)
+        if pending is not None:
+            out.extend(fetch_prepared(*pending))
+    else:
+        batch_fn = _batch_fn(exact=exact)
+        for i, chunk in enumerate(chunks):
+            log.info("consensus wave %d/%d (one batched kernel launch)",
+                     i + 1, len(chunks))
+            out.extend(batch_fn(chunk, beam_width=args.beam_width))
+    timers.seconds["consensus_2d"] += time.perf_counter() - _t0
+    timers.add_work(
+        "consensus_2d",
+        float(sum(np.sum(env[:, 1] - env[:, 0])
+                  for _, _, env in workloads)),
+    )
     return out
 
 

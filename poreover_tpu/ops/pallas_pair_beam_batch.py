@@ -125,7 +125,8 @@ def _gather_f32(oh_ref, x, BC: int):
 def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
                   L1: int, L2: int, K: int = 1, NTOT: int = 0,
                   RING0: int = 2048, RING1: int = 2048,
-                  USE_RINGS: bool = True, HAS_CONT: bool = True):
+                  USE_RINGS: bool = True, HAS_CONT: bool = True,
+                  EVICT_STEP: bool = False):
     # USE_RINGS / HAS_CONT compile the f0bc6dc VMEM measures (HBM emission
     # rings, CONT continuation-step handling) OUT of the step body when the
     # host proves they are not needed — always-on they taxed the small-B
@@ -565,22 +566,72 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
 
         def sweep_axis(st, ps, y_ref, yr, RING, los, his, WF, S, L, so_base,
                        plan_so):
-            # storage offsets are constant within a step: eviction shifts
-            # run in the uniform block-scheduled pass every RSHIFT steps
-            # (_storage_shift below) — a per-step conditional shift region
-            # per pair measurably serializes (~2us/pair/step). The host
-            # sizes Wst so no window outgrows storage between boundaries.
-            new_so = [so_s[so_base + b] for b in range(B)]
-            for b in range(B):
-                # live-span tracking (aligned-up exclusive end of written
-                # lanes) for the span-restricted permute/refresh gathers
-                wid = his[b] - los[b]
-                hiw_s[so_base + b] = jnp.where(
-                    wid > 0,
-                    jnp.maximum(
-                        hiw_s[so_base + b],
-                        ((his[b] - new_so[b] + 127) // 128) * 128 + CH),
-                    hiw_s[so_base + b])
+            # Eviction scheduling is a static choice (EVICT_STEP):
+            #  - per-step: each pair shifts its storage window up to the
+            #    tight plan anchor the moment it rises. Spans stay at the
+            #    256 bucket and the device step is ~1.6x faster at B=5
+            #    (r02 behavior, measured 1.38s vs 2.25s on the bundled
+            #    pairs) — but the per-pair conditional shift regions
+            #    serialize (~2us/pair/step), so cost grows with B.
+            #  - block-scheduled: shifts run in one uniform pass every
+            #    RSHIFT steps (_storage_shift below); spans drift up to
+            #    +RSHIFT between boundaries (the 384 bucket) but the
+            #    per-step path has no conditional regions — wins at
+            #    larger B. The host picks per batch (B <= 8 -> per-step).
+            if EVICT_STEP:
+                new_so = []
+                for b in range(B):
+                    so_b = so_s[so_base + b]
+                    need = his[b] - WF
+                    cand = ((need + 127) // 128) * 128
+                    ns = pl.multiple_of(
+                        jnp.maximum(jnp.maximum(so_b, cand), plan_so[b]),
+                        128)
+                    d = pl.multiple_of(ns - so_b, 128)
+
+                    @pl.when(d != 0)
+                    def _shift(b=b, d=d, st=st, ps=ps, S=S):
+                        nblk = S // CH
+                        for ref in (st, ps):
+                            for j in range(nblk):
+                                srcp = pl.multiple_of(j * CH + d, 128)
+
+                                @pl.when(srcp <= S - CH)
+                                def _cp(j=j, srcp=srcp, ref=ref, b=b):
+                                    tmp[b * CP:(b + 1) * CP,
+                                        j * CH:(j + 1) * CH] = ref[
+                                            b * CP:(b + 1) * CP,
+                                            pl.ds(srcp, CH)]
+
+                                @pl.when(srcp > S - CH)
+                                def _fl(j=j, ref=ref, b=b):
+                                    tmp[b * CP:(b + 1) * CP,
+                                        j * CH:(j + 1) * CH] = jnp.full(
+                                            (CP, CH), _NEG, jnp.float32)
+                            ref[b * CP:(b + 1) * CP, :] = tmp[
+                                b * CP:(b + 1) * CP, pl.ds(0, S)]
+
+                    so_s[so_base + b] = ns
+                    new_so.append(ns)
+                    hw = jnp.maximum(hiw_s[so_base + b] - d, 0)
+                    wid = his[b] - los[b]
+                    hiw_s[so_base + b] = jnp.where(
+                        wid > 0,
+                        jnp.maximum(
+                            hw, ((his[b] - ns + 127) // 128) * 128 + CH),
+                        hw)
+            else:
+                new_so = [so_s[so_base + b] for b in range(B)]
+                for b in range(B):
+                    # live-span tracking (aligned-up exclusive end of
+                    # written lanes) for the span-restricted gathers
+                    wid = his[b] - los[b]
+                    hiw_s[so_base + b] = jnp.where(
+                        wid > 0,
+                        jnp.maximum(
+                            hiw_s[so_base + b],
+                            ((his[b] - new_so[b] + 127) // 128) * 128 + CH),
+                        hiw_s[so_base + b])
 
             ac0 = [pl.multiple_of((los[b] // 128) * 128, 128)
                    for b in range(B)]
@@ -831,41 +882,42 @@ def _build_kernel(B: int, W: int, A: int, Wst0: int, Wst1: int, CH: int,
         # drift, which the host folds into Wst (_plan_spans). Uniform
         # cadence keeps the per-step path free of conditional shift
         # regions; the inner per-pair conditions run once per RSHIFT steps.
-        @pl.when(i % RSHIFT == RSHIFT - 1)
-        def _storage_shift():
-            for so_base, stx, psx, Sx, pso in ((0, st0, ps0, S0, pso0),
-                                               (B, st1, ps1, S1, pso1)):
-                for b in range(B):
-                    so_b = so_s[so_base + b]
-                    ns = pl.multiple_of(
-                        jnp.maximum(so_b, pso[b]), 128)
-                    d = pl.multiple_of(ns - so_b, 128)
+        if not EVICT_STEP:
+            @pl.when(i % RSHIFT == RSHIFT - 1)
+            def _storage_shift():
+                for so_base, stx, psx, Sx, pso in ((0, st0, ps0, S0, pso0),
+                                                   (B, st1, ps1, S1, pso1)):
+                    for b in range(B):
+                        so_b = so_s[so_base + b]
+                        ns = pl.multiple_of(
+                            jnp.maximum(so_b, pso[b]), 128)
+                        d = pl.multiple_of(ns - so_b, 128)
 
-                    @pl.when(d != 0)
-                    def _shift(b=b, d=d, ns=ns, stx=stx, psx=psx, Sx=Sx,
-                               so_base=so_base):
-                        nblk = Sx // CH
-                        for ref in (stx, psx):
-                            for j in range(nblk):
-                                srcp = pl.multiple_of(j * CH + d, 128)
+                        @pl.when(d != 0)
+                        def _shift(b=b, d=d, ns=ns, stx=stx, psx=psx, Sx=Sx,
+                                   so_base=so_base):
+                            nblk = Sx // CH
+                            for ref in (stx, psx):
+                                for j in range(nblk):
+                                    srcp = pl.multiple_of(j * CH + d, 128)
 
-                                @pl.when(srcp <= Sx - CH)
-                                def _cp(j=j, srcp=srcp, ref=ref, b=b):
-                                    tmp[b * CP:(b + 1) * CP,
-                                        j * CH:(j + 1) * CH] = ref[
-                                            b * CP:(b + 1) * CP,
-                                            pl.ds(srcp, CH)]
+                                    @pl.when(srcp <= Sx - CH)
+                                    def _cp(j=j, srcp=srcp, ref=ref, b=b):
+                                        tmp[b * CP:(b + 1) * CP,
+                                            j * CH:(j + 1) * CH] = ref[
+                                                b * CP:(b + 1) * CP,
+                                                pl.ds(srcp, CH)]
 
-                                @pl.when(srcp > Sx - CH)
-                                def _fl(j=j, ref=ref, b=b):
-                                    tmp[b * CP:(b + 1) * CP,
-                                        j * CH:(j + 1) * CH] = jnp.full(
-                                            (CP, CH), _NEG, jnp.float32)
-                            ref[b * CP:(b + 1) * CP, :] = tmp[
-                                b * CP:(b + 1) * CP, pl.ds(0, Sx)]
-                        so_s[so_base + b] = ns
-                        hiw_s[so_base + b] = jnp.maximum(
-                            hiw_s[so_base + b] - d, 0)
+                                    @pl.when(srcp > Sx - CH)
+                                    def _fl(j=j, ref=ref, b=b):
+                                        tmp[b * CP:(b + 1) * CP,
+                                            j * CH:(j + 1) * CH] = jnp.full(
+                                                (CP, CH), _NEG, jnp.float32)
+                                ref[b * CP:(b + 1) * CP, :] = tmp[
+                                    b * CP:(b + 1) * CP, pl.ds(0, Sx)]
+                            so_s[so_base + b] = ns
+                            hiw_s[so_base + b] = jnp.maximum(
+                                hiw_s[so_base + b] - d, 0)
 
         # ---- scores: rows -> lanes bridge via transpose ----
         # without CONT steps mx still holds the axis-1 sweep max directly
@@ -1003,15 +1055,18 @@ def _plan_anchors(p: dict) -> tuple[np.ndarray, np.ndarray]:
     return sm0, sm1
 
 
-def _plan_spans(p: dict, sm0: np.ndarray, sm1: np.ndarray) -> tuple[int, int]:
+def _plan_spans(p: dict, sm0: np.ndarray, sm1: np.ndarray,
+                evict_step: bool = False) -> tuple[int, int]:
     """Required live storage span per axis: max over sweeping steps of
-    (window hi - storage offset). The storage offset at step t is the
-    eviction anchor at the last RSHIFT boundary before t (shifts are
-    block-scheduled), -128 before the first boundary. The anchors rise
-    inside split windows, but the walk re-reads back into wide
-    transposed-envelope columns, so this span — not the capped window
-    width — is what storage must hold."""
+    (window hi - storage offset). With per-step eviction (evict_step) the
+    offset equals the tight anchor at every step. With block-scheduled
+    shifts the offset is the anchor at the last RSHIFT boundary before t,
+    -128 before the first boundary. The anchors rise inside split windows,
+    but the walk re-reads back into wide transposed-envelope columns, so
+    this span — not the capped window width — is what storage must hold."""
     def blocked_base(sm: np.ndarray) -> np.ndarray:
+        if evict_step:
+            return sm
         base = np.full(len(sm), -128, np.int64)
         for k0 in range(RSHIFT, len(sm), RSHIFT):
             base[k0:k0 + RSHIFT] = sm[k0 - 1]
@@ -1037,11 +1092,13 @@ def _pack_plane(y: np.ndarray, L: int) -> np.ndarray:
 
 @partial(jax.jit,
          static_argnames=("B", "W", "A", "Wst0", "Wst1", "CH", "L1", "L2",
-                          "K", "RING0", "RING1", "USE_RINGS", "HAS_CONT"))
+                          "K", "RING0", "RING1", "USE_RINGS", "HAS_CONT",
+                          "EVICT_STEP"))
 def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
                 Wst0: int, Wst1: int, CH: int, L1: int, L2: int, K: int = 1,
                 RING0: int = 2048, RING1: int = 2048,
-                USE_RINGS: bool = True, HAS_CONT: bool = True):
+                USE_RINGS: bool = True, HAS_CONT: bool = True,
+                EVICT_STEP: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1051,7 +1108,8 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
     assert N % K == 0, f"steps_per_grid {K} must divide padded plan {N}"
     kernel, C, CP, PB, BC, S0, S1 = _build_kernel(
         B, W, A, Wst0, Wst1, CH, L1, L2, K=K, NTOT=N,
-        RING0=RING0, RING1=RING1, USE_RINGS=USE_RINGS, HAS_CONT=HAS_CONT)
+        RING0=RING0, RING1=RING1, USE_RINGS=USE_RINGS, HAS_CONT=HAS_CONT,
+        EVICT_STEP=EVICT_STEP)
 
     # emission planes: VMEM-resident when they fit the budget (fastest —
     # the r02 path); otherwise HBM, staged through per-pair VMEM rings
@@ -1175,13 +1233,16 @@ def _vmem_est(B: int, Wst0: int, Wst1: int, RING0: int, RING1: int,
     return b
 
 
-def pair_beam_pallas_batch(pairs, beam_width: int = 5,
-                           alphabet: str = "ACGT",
-                           steps_per_grid: int = 2) -> list[str]:
-    """Batched Pallas row_col pair beam search (plain CTC).
-
-    pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
-    plans are padded to the longest with zero-width catch-runs.
+def prepare_pairs(pairs, beam_width: int = 5, alphabet: str = "ACGT",
+                  steps_per_grid: int | None = None,
+                  device_put: bool = True):
+    """Host-side stage of the batched pair kernel: plans, geometry, packed
+    planes; returns a prep dict whose ``dev`` arrays are already enqueued
+    for transfer (jax.device_put is async). Splitting prepare / launch /
+    fetch lets callers overlap the H2D of the next wave with the device
+    compute of the current one — on a tunneled dev chip the transfer is
+    ~2s for a 5-pair wave (~40 MB at ~20 MB/s), comparable to the kernel
+    itself; on a production host PCIe makes it negligible.
 
     The wide-window split cap is chosen adaptively: splitting bounds VMEM
     (storage strips + emission rings) but lengthens the plan with CONT
@@ -1236,11 +1297,22 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
                 need = max(need, blk_need - blk_base)
         return ((need + 1023) // 1024) * 1024
 
+    # per-step eviction for small batches (see sweep_axis comment):
+    # tighter spans + faster steps; block-scheduled beyond B=8.
+    # steps_per_grid is coupled: with per-step eviction the unrolled
+    # conditional shift regions schedule poorly at K>1 (measured 1.51s at
+    # K=1 vs 2.03s at K=4 on the bundled pairs); with the uniform block
+    # pass more steps per grid amortize grid overhead (2.25s at K=4 vs
+    # 2.54s at K=1).
+    evict_step = B <= 8
+    if steps_per_grid is None:
+        steps_per_grid = 1 if evict_step else 4
+
     def geometry(cap):
         plans = (raw_plans if cap is None
                  else [_split_wide(p, cap=cap) for p in raw_plans])
         anchors = [_plan_anchors(p) for p in plans]
-        spans = [_plan_spans(p, sm0, sm1)
+        spans = [_plan_spans(p, sm0, sm1, evict_step)
                  for p, (sm0, sm1) in zip(plans, anchors)]
         w0 = max(
             int(np.where(p["type"] != C1RUN,
@@ -1315,12 +1387,37 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
             plan_mat[8 * b + 6, n:N_pad] = plan_mat[8 * b + 6, n - 1]
     plan_mat = plan_mat[:, :N_pad]
 
-    prov, sco, valid = _run_kernel(
-        jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat),
-        B, W, A, Wst0, Wst1, CH, L1, L2, K=steps_per_grid,
+    if device_put:
+        dev = (jax.device_put(y1p), jax.device_put(y2p),
+               jax.device_put(plan_mat))
+    else:
+        dev = (jnp.asarray(y1p), jnp.asarray(y2p), jnp.asarray(plan_mat))
+    return dict(
+        dev=dev, B=B, W=W, A=A, Wst0=Wst0, Wst1=Wst1, CH=CH, L1=L1, L2=L2,
+        K=steps_per_grid,
         RING0=RING0 if use_rings else 128,
         RING1=RING1 if use_rings else 128,
-        USE_RINGS=use_rings, HAS_CONT=has_cont)
+        use_rings=use_rings, has_cont=has_cont, evict_step=evict_step,
+        n_steps=[len(p["type"]) for p in plans], alphabet=alphabet,
+    )
+
+
+def launch_prepared(prep):
+    """Dispatch the kernel for a prepared batch; returns device arrays
+    without blocking (JAX async dispatch)."""
+    return _run_kernel(
+        *prep["dev"], prep["B"], prep["W"], prep["A"],
+        prep["Wst0"], prep["Wst1"], prep["CH"], prep["L1"], prep["L2"],
+        K=prep["K"], RING0=prep["RING0"], RING1=prep["RING1"],
+        USE_RINGS=prep["use_rings"], HAS_CONT=prep["has_cont"],
+        EVICT_STEP=prep["evict_step"])
+
+
+def fetch_prepared(prep, outs) -> list[str]:
+    """Block on the kernel outputs, pull the packed provenance to host
+    (~0.4 bytes/step/pair) and walk the tracebacks."""
+    prov, sco, valid = outs
+    B, W, A = prep["B"], prep["W"], prep["A"]
     PB = max(B, 8)
     # [n_blocks, PB, 128] packed words; pair b's step i word sits at
     # block i//128, row b, lane i%128
@@ -1331,5 +1428,18 @@ def pair_beam_pallas_batch(pairs, beam_width: int = 5,
     for b in range(B):
         words = prov[:, b, :].reshape(-1)
         out.append(_traceback(words, sco[b], valid[b],
-                              len(plans[b]["type"]), W, A, alphabet))
+                              prep["n_steps"][b], W, A, prep["alphabet"]))
     return out
+
+
+def pair_beam_pallas_batch(pairs, beam_width: int = 5,
+                           alphabet: str = "ACGT",
+                           steps_per_grid: int | None = None) -> list[str]:
+    """Batched Pallas row_col pair beam search (plain CTC).
+
+    pairs: list of (y1, y2, envelope). All pairs share one kernel launch;
+    plans are padded to the longest with zero-width catch-runs. See
+    prepare_pairs for the adaptive VMEM configuration."""
+    prep = prepare_pairs(pairs, beam_width=beam_width, alphabet=alphabet,
+                         steps_per_grid=steps_per_grid)
+    return fetch_prepared(prep, launch_prepared(prep))

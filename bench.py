@@ -196,6 +196,28 @@ def bench_viterbi():
     _ = np.asarray(argmax_path_batch(yb))
     e2e = _best_of(lambda: np.asarray(argmax_path_batch(yb)), n=2)
 
+    # host->device link bandwidth (context for the e2e number: on this
+    # dev chip the probs travel a tunneled link; production PCIe makes
+    # the same transfer negligible)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(yb.copy()))
+    h2d_mb_s = yb.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    # pipelined e2e: the production driver dispatches every wave (H2D +
+    # kernel, async) before fetching any result (_decode_batched), so
+    # transfer of wave i+1 overlaps compute of wave i
+    WV = 32
+
+    def run_pipelined():
+        handles = [
+            argmax_path_batch(jax.device_put(yb[i:i + WV]))
+            for i in range(0, B, WV)
+        ]
+        return [np.asarray(h) for h in handles]
+
+    _ = run_pipelined()
+    e2e_pipe = _best_of(run_pipelined, n=2)
+
     # single-core numpy baseline — the reference's decode path
     # (transducer.py:72-73: per-step argmax + gap collapse, numpy)
     cpu = _best_of(lambda: [np.argmax(y, axis=1) for _ in range(B)], n=2)
@@ -206,10 +228,12 @@ def bench_viterbi():
         single_read_latency_s=round(lat, 5),
         tpu_s=round(dev, 5),
         e2e_s=round(e2e, 5),
-        reads_per_s_e2e=round(B / e2e, 3),
+        e2e_pipelined_s=round(e2e_pipe, 5),
+        reads_per_s_e2e=round(B / e2e_pipe, 3),
+        h2d_mb_s=round(h2d_mb_s, 1),
         cpu_s=round(cpu, 5),
         vs_baseline=round(cpu / dev, 3),
-        vs_baseline_e2e=round(cpu / e2e, 3),
+        vs_baseline_e2e=round(cpu / e2e_pipe, 3),
     )
     log(f"viterbi: T={T} batch{B} device={dev*1e3:.2f}ms (incl H2D "
         f"{e2e*1e3:.2f}ms) cpu={cpu*1e3:.2f}ms ({cpu/dev:.2f}x device, "

@@ -83,9 +83,14 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
 
     One kernel launch per (kind, length-bucket, wave) instead of one per
     read — the TPU equivalent of the reference's Pool(threads) fan-out
-    (decode.py:158-162). Returns {idx: seq}; a failing wave falls back to
-    per-read decoding so one bad read never loses the others.
+    (decode.py:158-162). Waves are software-pipelined: every wave is
+    dispatched (H2D enqueue + async kernel) before any result is fetched,
+    so wave i+1's transfer overlaps wave i's compute (JAX async dispatch).
+    Returns {idx: seq}; a failing wave falls back to per-read decoding so
+    one bad read never loses the others.
     """
+    import jax
+
     from ..ops.beam import _pad_bucket
 
     groups: dict[tuple, list] = {}
@@ -94,6 +99,64 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
         groups.setdefault(key, []).append(e)
 
     results = {}
+    pending = []  # (batch, finalize) in dispatch order
+
+    def dispatch(batch, kind, bucket):
+        if algorithm == "beam":
+            from ..ops.beam import beam_search_batch
+
+            # beam_search_batch pads/buckets internally; dispatch cost is
+            # one call — its outputs are host strings, so it stays eager
+            seqs = beam_search_batch(
+                [e[2].log_prob for e in batch],
+                beam_width=beam_width,
+                model=MODEL_STRING[kind],
+            )
+            return lambda: [(e[0], s) for e, s in zip(batch, seqs)]
+        if kind == "flipflop":
+            from ..ops.viterbi import viterbi_path_masked_batch
+
+            paths = viterbi_path_masked_batch(
+                [e[2].log_prob.astype(np.float32) for e in batch],
+                batch[0][2].transition,
+            )
+            return lambda: [
+                (e[0], _path_to_seq(e[2], np.asarray(p)))
+                for e, p in zip(batch, paths)
+            ]
+        # unconstrained CTC kinds: Viterbi == per-step argmax
+        from ..ops.viterbi import argmax_path_batch
+
+        Tp = bucket
+        yb = np.full(
+            (len(batch), Tp, batch[0][2].log_prob.shape[1]),
+            -np.inf, np.float32,
+        )
+        # pad with blank-wins rows so the padded tail decodes to gaps
+        # that drop out of the string
+        yb[:, :, -1] = 0.0
+        for i, e in enumerate(batch):
+            yb[i, : e[2].t_max] = e[2].log_prob
+        dev_paths = argmax_path_batch(jax.device_put(yb))  # async
+
+        def finalize():
+            paths = np.asarray(dev_paths)
+            return [
+                (e[0], _path_to_seq(e[2], paths[i, : e[2].t_max]))
+                for i, e in enumerate(batch)
+            ]
+
+        return finalize
+
+    def fallback(batch):
+        for idx, path, model in batch:
+            try:
+                results[idx] = decode_read(
+                    model, algorithm, beam_width=beam_width
+                )
+            except Exception as exc:
+                log.warning("skipping %s: %s", path, exc)
+
     for (kind, bucket), group in sorted(groups.items()):
         for w0 in range(0, len(group), wave):
             batch = group[w0 : w0 + wave]
@@ -102,55 +165,20 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
                 len(batch), kind, bucket, algorithm,
             )
             try:
-                if algorithm == "beam":
-                    from ..ops.beam import beam_search_batch
-
-                    seqs = beam_search_batch(
-                        [e[2].log_prob for e in batch],
-                        beam_width=beam_width,
-                        model=MODEL_STRING[kind],
-                    )
-                    for e, s in zip(batch, seqs):
-                        results[e[0]] = s
-                elif kind == "flipflop":
-                    from ..ops.viterbi import viterbi_path_masked_batch
-
-                    paths = viterbi_path_masked_batch(
-                        [e[2].log_prob.astype(np.float32) for e in batch],
-                        batch[0][2].transition,
-                    )
-                    for e, p in zip(batch, paths):
-                        results[e[0]] = _path_to_seq(e[2], np.asarray(p))
-                else:
-                    # unconstrained CTC kinds: Viterbi == per-step argmax
-                    from ..ops.viterbi import argmax_path_batch
-
-                    Tp = bucket
-                    yb = np.full(
-                        (len(batch), Tp, batch[0][2].log_prob.shape[1]),
-                        -np.inf, np.float32,
-                    )
-                    # pad with blank-wins rows so the padded tail decodes to
-                    # gaps that drop out of the string
-                    yb[:, :, -1] = 0.0
-                    for i, e in enumerate(batch):
-                        yb[i, : e[2].t_max] = e[2].log_prob
-                    paths = np.asarray(argmax_path_batch(yb))
-                    for i, e in enumerate(batch):
-                        results[e[0]] = _path_to_seq(
-                            e[2], paths[i, : e[2].t_max]
-                        )
+                pending.append((batch, dispatch(batch, kind, bucket)))
             except Exception:
                 log.exception(
-                    "batched wave failed; falling back to per-read decode"
+                    "batched wave dispatch failed; per-read fallback"
                 )
-                for idx, path, model in batch:
-                    try:
-                        results[idx] = decode_read(
-                            model, algorithm, beam_width=beam_width
-                        )
-                    except Exception as exc:
-                        log.warning("skipping %s: %s", path, exc)
+                fallback(batch)
+
+    for batch, finalize in pending:
+        try:
+            for idx, seq in finalize():
+                results[idx] = seq
+        except Exception:
+            log.exception("batched wave failed; falling back per-read")
+            fallback(batch)
     return results
 
 

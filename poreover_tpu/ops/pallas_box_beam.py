@@ -882,11 +882,19 @@ def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
     # VMEM guard: estimate the packed plane length at this B; if the
     # launch would exceed the budget, split the box set into groups and
     # launch each (every group repacks its own lanes)
+    def pow2(x, lo=1024):
+        v = lo
+        while v < x:
+            v *= 2
+        return v
+
     tot1 = sum(_al(pb["U"] + 2) for _, pb in preps)
     tot2 = sum(_al(pb["V"] + 2) for _, pb in preps)
     Bp = max(8, min(B, ((len(preps) + 7) // 8) * 8))
-    est = _vmem_est(Bp, max(1024, tot1 // Bp + 512),
-                    max(1024, tot2 // Bp + 512))
+    # lanes are LPT-packed then pow2-bucketed; the longest lane exceeds the
+    # mean by up to one box, and bucket_pow2 can nearly double it again
+    est = _vmem_est(Bp, pow2(tot1 // Bp + 512),
+                    pow2(tot2 // Bp + 512))
     if est > _VMEM_BUDGET and len(preps) > 1:
         groups = max(2, (est + _VMEM_BUDGET - 1) // _VMEM_BUDGET)
         step = (len(preps) + groups - 1) // groups
@@ -938,6 +946,20 @@ def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
 
     L1 = bucket_pow2(int(el1.max()) if len(placed) else 1024)
     L2 = bucket_pow2(int(el2.max()) if len(placed) else 1024)
+
+    # hard post-packing check: if the exact lane lengths still blow the
+    # budget (LPT imbalance the estimate missed), split and retry
+    if _vmem_est(B, L1, L2) > _VMEM_BUDGET and len(preps) > 1:
+        mid = len(preps) // 2
+        for sub in (preps[:mid], preps[mid:]):
+            sub_seqs, sub_over = box_beam_pallas(
+                [boxes[idx] for idx, _ in sub], beam_width=beam_width,
+                alphabet=alphabet, B=B, steps_per_grid=steps_per_grid,
+                prepared=[pb for _, pb in sub])
+            for (idx, _), s in zip(sub, sub_seqs):
+                seqs[idx] = s
+            overflow.extend(sub[j][0] for j in sub_over)
+        return seqs, sorted(overflow)
 
     y1p = np.full((6 * B, L1), _NEG, np.float32)
     y2p = np.full((6 * B, L2), _NEG, np.float32)

@@ -26,7 +26,7 @@ preps = [prepare_box(*b) for b in flat]
 print(f"overflow: {sum(p is None for p in preps)}", flush=True)
 
 ref = None
-for B, K in [(64, 2), (128, 2), (256, 2), (128, 4), (128, 8)]:
+for B, K in [(64, 4), (96, 2), (128, 2), (64, 8)]:
     try:
         t0 = time.perf_counter()
         seqs, ov = box_beam_pallas(flat, beam_width=5, B=B,

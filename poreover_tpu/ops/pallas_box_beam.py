@@ -879,38 +879,39 @@ def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
     if not preps:
         return seqs, overflow
 
-    # VMEM guard: estimate the packed plane length at this B; if the
-    # launch would exceed the budget, split the box set into groups and
-    # launch each (every group repacks its own lanes)
+    # VMEM guard: estimate the packed plane length at this B. The longest
+    # single box floors the lane length regardless of B (L is pow2 of the
+    # max lane), so when the estimate blows the budget, first shrink B
+    # (st/ps strips scale with B); only split the box set when even B=16
+    # cannot fit.
     def pow2(x, lo=1024):
         v = lo
         while v < x:
             v *= 2
         return v
 
-    tot1 = sum(_al(pb["U"] + 2) for _, pb in preps)
-    tot2 = sum(_al(pb["V"] + 2) for _, pb in preps)
-    Bp = max(8, min(B, ((len(preps) + 7) // 8) * 8))
-    # lanes are LPT-packed then pow2-bucketed; the longest lane exceeds the
-    # mean by up to one box, and bucket_pow2 can nearly double it again
-    est = _vmem_est(Bp, pow2(tot1 // Bp + 512),
-                    pow2(tot2 // Bp + 512))
-    if est > _VMEM_BUDGET and len(preps) > 1:
-        groups = max(2, (est + _VMEM_BUDGET - 1) // _VMEM_BUDGET)
-        step = (len(preps) + groups - 1) // groups
-        for g0 in range(0, len(preps), step):
-            sub = preps[g0:g0 + step]
-            sub_boxes = [boxes[idx] for idx, _ in sub]
+    def est_for(Bq):
+        tot1 = sum(_al(pb["U"] + 2) for _, pb in preps)
+        tot2 = sum(_al(pb["V"] + 2) for _, pb in preps)
+        m1 = max(_al(pb["U"] + 2) for _, pb in preps)
+        m2 = max(_al(pb["V"] + 2) for _, pb in preps)
+        return _vmem_est(Bq, pow2(max(tot1 // Bq + 512, m1)),
+                         pow2(max(tot2 // Bq + 512, m2)))
+
+    B = max(8, min(B, ((len(preps) + 7) // 8) * 8))
+    while B > 16 and est_for(B) > _VMEM_BUDGET:
+        B -= 16
+    if est_for(B) > _VMEM_BUDGET and len(preps) > 1:
+        mid = len(preps) // 2
+        for sub in (preps[:mid], preps[mid:]):
             sub_seqs, sub_over = box_beam_pallas(
-                sub_boxes, beam_width=beam_width, alphabet=alphabet,
-                B=B, steps_per_grid=steps_per_grid,
+                [boxes[idx] for idx, _ in sub], beam_width=beam_width,
+                alphabet=alphabet, B=B, steps_per_grid=steps_per_grid,
                 prepared=[pb for _, pb in sub])
             for (idx, _), s in zip(sub, sub_seqs):
                 seqs[idx] = s
             overflow.extend(sub[j][0] for j in sub_over)
         return seqs, sorted(overflow)
-
-    B = Bp
     # LPT bin-packing on padded plan length
     order = sorted(range(len(preps)), key=lambda i: -preps[i][1]["n"])
     lanes = [[] for _ in range(B)]

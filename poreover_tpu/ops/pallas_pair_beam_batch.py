@@ -1115,21 +1115,21 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
     # the r02 path); otherwise HBM, staged through per-pair VMEM rings
     # (yr0/yr1) refreshed by anchor-gated DMAs so VMEM no longer scales
     # with read length x batch
-    y_space = pltpu.ANY if USE_RINGS else pltpu.VMEM
+    y_space = pl.ANY if USE_RINGS else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(N // K,),
         in_specs=[
             pl.BlockSpec(memory_space=y_space),
             pl.BlockSpec(memory_space=y_space),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         # outputs live in HBM and are filled by explicit async DMAs from
         # VMEM scratch — see the provenance comment in the kernel
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((BC, S0), jnp.float32),   # st0

@@ -276,7 +276,7 @@ def bench_beam():
     # saturated throughput: the scan's per-step cost is nearly flat in the
     # vmap batch axis, so reads/s/chip is measured at a full wave (the two
     # bundled reads replicated to B=32); outputs asserted identical
-    SAT_B = int(os.environ.get("BENCH_BEAM_SAT_B", "128"))
+    SAT_B = int(os.environ.get("BENCH_BEAM_SAT_B", "128"))  # 256 measured no better (69s, same reads/s)
     ys_sat = (ys * ((SAT_B + len(ys) - 1) // len(ys)))[:SAT_B]
     out_sat = beam_search_batch(ys_sat, beam_width=25)  # warm
     out_sat, sat, _ = _timed(

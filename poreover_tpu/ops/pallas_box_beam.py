@@ -61,19 +61,26 @@ from .pallas_pair_beam_batch import (
 )
 
 CH = 128
-S = 768            # storage strip width per axis (6 chunks)
-SMAX = S - 2 * CH  # max planned live span a box may need
+S = 768            # default storage strip width per axis (6 chunks)
+SMAX = S - 2 * CH  # max planned live span a box may need (default strip)
 NB = S // CH
 
 
 def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
-                  NTOT: int):
+                  NTOT: int, S: int = S, STRIP_DMA: bool = False):
+    # S: storage-strip width per axis — 768 for anchor boxes, larger
+    # (span-bucketed) when whole-pair plans ride the segmented kernel.
+    # STRIP_DMA: refresh the emission strips with per-lane DMAs from the
+    # (long) packed planes instead of the chunk-select chain, whose cost
+    # is O(NB * L/CH) selects per block start — prohibitive at L ~ 45k.
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C = W * (A + 1)
     CP = 32
     assert C <= CP and B % 8 == 0
+    assert S % CH == 0
+    NB = S // CH
     PB = B
     BC = B * CP
     LAYERS = W + 1
@@ -87,6 +94,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                seeds, mx0s, mx, mx1s,
                so0_v, so1_v, hw0_v, hw1_v,
                es0, es1, yr0, yr1,
+               esL0, esL1,
                plan_v, pv_s, dma_sem):
         for _k in range(K):
             _step_body(pl.program_id(0) * K + _k,
@@ -97,6 +105,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                        seeds, mx0s, mx, mx1s,
                        so0_v, so1_v, hw0_v, hw1_v,
                        es0, es1, yr0, yr1,
+                       esL0, esL1,
                        plan_v, pv_s, dma_sem)
 
     def _step_body(i, y1_ref, y2_ref, plan_ref, prov_ref,
@@ -106,6 +115,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                    seeds, mx0s, mx, mx1s,
                    so0_v, so1_v, hw0_v, hw1_v,
                    es0, es1, yr0, yr1,
+                   esL0, esL1,
                    plan_v, pv_s, dma_sem):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (PB, LN), 1)
@@ -135,14 +145,15 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             cp.start()
             cp.wait()
 
-        @pl.when(i == 0)
-        def _load_rings():
-            cp0 = pltpu.make_async_copy(y1_ref, yr0, dma_sem.at[1])
-            cp1 = pltpu.make_async_copy(y2_ref, yr1, dma_sem.at[2])
-            cp0.start()
-            cp1.start()
-            cp0.wait()
-            cp1.wait()
+        if not STRIP_DMA:
+            @pl.when(i == 0)
+            def _load_rings():
+                cp0 = pltpu.make_async_copy(y1_ref, yr0, dma_sem.at[1])
+                cp1 = pltpu.make_async_copy(y2_ref, yr1, dma_sem.at[2])
+                cp0.start()
+                cp1.start()
+                cp0.wait()
+                cp1.wait()
 
         def pv(p):
             return jnp.sum(
@@ -160,7 +171,40 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         # ------------------------------------------------------------------
         # block start: segmented resets + emission strip re-base
         # ------------------------------------------------------------------
-        def _strip_refresh(es, yr, so_v, R):
+        def _strip_refresh(es, yr, so_v, R, esL=None):
+            if STRIP_DMA:
+                # Whole-read planes are lane-major ([8B, R], 8 rows per
+                # lane: 6 planes + 2 pad) so each lane refreshes with ONE
+                # 8-row-aligned DMA at its own offset; an exact f32
+                # one-hot permute then rearranges the staging strip into
+                # the plane-major layout the chunk loop reads
+                # ([6B, S], rows c*B+b). Requires so_b >= 0 and
+                # so_b + S <= R — the host bases the packed planes at
+                # +128 so reset origins (base - 128) are never negative,
+                # and sizes R past max(anchor) + S.
+                cps = []
+                for b in range(B):
+                    so_b = pl.multiple_of(
+                        jnp.clip(so_v[b, 0], 0, R - S), 128)
+                    cps.append(pltpu.make_async_copy(
+                        yr.at[pl.ds(8 * b, 8), pl.ds(so_b, S)],
+                        esL.at[pl.ds(8 * b, 8), :], dma_sem.at[3]))
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                colL = jax.lax.broadcasted_iota(jnp.int32, (128, 8 * B), 1)
+                for g0 in range(0, 6 * B, 128):
+                    gsz = min(128, 6 * B - g0)
+                    gr = g0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (128, 8 * B), 0)
+                    src = 8 * (gr % B) + gr // B  # es row c*B+b <- 8b+c
+                    P = jnp.where(colL == src, 1.0, 0.0)
+                    es[g0:g0 + gsz, :] = jax.lax.dot_general(
+                        P[0:gsz], esL[:, :], (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                return
             # es[:, j] := yr[:, so + j]; so is a multiple of 128 and may be
             # negative (box start: so = base - 128) — chunks with no ring
             # source fill _NEG (always masked by the window tests).
@@ -183,8 +227,10 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             so1_v[:, :] = nso1
             hw0_v[:, :] = jnp.where(reset_v > 0, 2 * CH, hw0_v[:, :])
             hw1_v[:, :] = jnp.where(reset_v > 0, 2 * CH, hw1_v[:, :])
-            _strip_refresh(es0, yr0, nso0, L1)
-            _strip_refresh(es1, yr1, nso1, L2)
+            _strip_refresh(es0, y1_ref if STRIP_DMA else yr0, nso0, L1,
+                           esL0)
+            _strip_refresh(es1, y2_ref if STRIP_DMA else yr1, nso1, L2,
+                           esL1)
             # storage wipe + t=0 seed column (strip col 128 == box t0)
             for stx, psx, esx in ((st0, ps0, es0), (st1, ps1, es1)):
                 y0 = jnp.full((BC, 1), _NEG, jnp.float32)
@@ -456,7 +502,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             ps[:, pl.ds(0, SP)] = jnp.where(val_r > 0, newfr, _NEG)
 
         def _span_buckets():
-            return (256, 384, 512, S)
+            return tuple(sorted({min(256, S), min(384, S), min(512, S),
+                                 min(1024, S), S}))
 
         def permute(st, ps, span):
             bks = _span_buckets()
@@ -708,16 +755,19 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
 
 
 @partial(jax.jit,
-         static_argnames=("B", "W", "A", "L1", "L2", "K", "N"))
+         static_argnames=("B", "W", "A", "L1", "L2", "K", "N", "S",
+                          "STRIP_DMA"))
 def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
-                L1: int, L2: int, K: int, N: int):
+                L1: int, L2: int, K: int, N: int, S: int = S,
+                STRIP_DMA: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     # grid=(N // K): a non-dividing K would silently drop the last
     # N % K steps — a tail box's FIN step (ADVICE r3)
     assert N % K == 0, f"steps_per_grid {K} must divide padded plan {N}"
-    kernel, C, CP, PB, BC = _build_kernel(B, W, A, L1, L2, K, N)
+    kernel, C, CP, PB, BC = _build_kernel(B, W, A, L1, L2, K, N, S=S,
+                                          STRIP_DMA=STRIP_DMA)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -757,8 +807,17 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((B, 1), jnp.int32),       # hw1_v
             pltpu.VMEM((6 * B, S), jnp.float32),  # es0
             pltpu.VMEM((6 * B, S), jnp.float32),  # es1
-            pltpu.VMEM((6 * B, L1), jnp.float32),  # yr0
-            pltpu.VMEM((6 * B, L2), jnp.float32),  # yr1
+            # packed planes stay in HBM in STRIP_DMA mode (the refresh
+            # DMAs slice them per lane); box mode stages them in VMEM
+            pltpu.VMEM((8, 128) if STRIP_DMA else (6 * B, L1),
+                       jnp.float32),              # yr0
+            pltpu.VMEM((8, 128) if STRIP_DMA else (6 * B, L2),
+                       jnp.float32),              # yr1
+            # lane-major staging strips for the DMA refresh
+            pltpu.VMEM((8 * B, S) if STRIP_DMA else (8, 128),
+                       jnp.float32),              # esL0
+            pltpu.VMEM((8 * B, S) if STRIP_DMA else (8, 128),
+                       jnp.float32),              # esL1
             pltpu.VMEM((8 * B, 128), jnp.int32),   # plan_v
             pltpu.VMEM((PB, 128), jnp.int32),      # pv_s
             pltpu.SemaphoreType.DMA((4,)),
@@ -797,18 +856,22 @@ def _al(x: int) -> int:
     return ((x + 127) // 128) * 128
 
 
-def prepare_box(y1, y2, envelope, cap: int = 256):
+def prepare_box(y1, y2, envelope, cap: int = 256, smax: int = SMAX):
     """Per-box host prep: plan (+FIN, padded), anchors, spans.
 
-    Returns None when the box needs more live span than the kernel's
-    static storage strip — the caller routes those through the general
-    kernel."""
+    Returns None when the box needs more live span than ``smax`` (the
+    kernel's static storage strip minus slack) — the caller routes those
+    through the general kernel or retries with a larger strip. cap=None
+    skips wide-window splitting (used when the strip is sized to the
+    unsplit spans)."""
     y1 = np.asarray(y1)
     y2 = np.asarray(y2)
     U, V = len(y1), len(y2)
     env = np.asarray(envelope, dtype=np.int64)[:U]
     from .beam2d_planned import build_plan
-    p = _split_wide(build_plan(env, U, V), cap=cap)
+    p = build_plan(env, U, V)
+    if cap is not None:
+        p = _split_wide(p, cap=cap)
     n = len(p["type"])
     # FIN: zero-width MAIN — winner 0 of its provenance word is the argmax
     # of the final table, so no score fetch is needed
@@ -827,10 +890,11 @@ def prepare_box(y1, y2, envelope, cap: int = 256):
               b_hi=arr[4])
     sm0, sm1 = _plan_anchors(pp)
     s0, s1 = _plan_spans(pp, sm0, sm1)
-    if max(s0, s1) + 2 > SMAX:
+    if max(s0, s1) + 2 > smax:
         return None
     return dict(plan=arr, sm0=sm0.astype(np.int32), sm1=sm1.astype(np.int32),
-                fin=n, n=np_len, y1=y1, y2=y2, U=U, V=V)
+                fin=n, n=np_len, y1=y1, y2=y2, U=U, V=V,
+                span=(s0, s1))
 
 
 # VMEM budget for one launch (the kernel's vmem_limit is 112 MB; leave
@@ -838,7 +902,8 @@ def prepare_box(y1, y2, envelope, cap: int = 256):
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _vmem_est(B: int, L1: int, L2: int) -> int:
+def _vmem_est(B: int, L1: int, L2: int, S: int = S,
+              strip_dma: bool = False) -> int:
     """Scratch bytes the kernel will request (mirrors _run_kernel's
     scratch_shapes; ADVICE r3: yr0/yr1 grow with the packed lane length
     and must be guarded against the VMEM budget)."""
@@ -849,7 +914,10 @@ def _vmem_est(B: int, L1: int, L2: int) -> int:
     b += (3 * BC * 128 + BC * 512) * 4       # ohP ohFro ohG2 + ohG
     b += 4 * BC * 4 + 4 * B * 4              # seeds/mx*/so/hw vecs
     b += 2 * 6 * B * S * 4                   # es0 es1
-    b += 6 * B * (L1 + L2) * 4               # yr0 yr1 (emission planes)
+    if strip_dma:
+        b += 2 * 8 * B * S * 4               # esL staging (planes in HBM)
+    else:
+        b += 6 * B * (L1 + L2) * 4           # yr0 yr1 (VMEM planes)
     b += 8 * B * 128 * 4 + PB * 128 * 4      # plan_v pv_s
     return b
 
@@ -1032,3 +1100,114 @@ def _traceback_box(words: np.ndarray, start: int, fin: int,
         chars.append(j if j < A else None)
     out = [c for c in reversed(chars) if c is not None]
     return "".join(alphabet[c] for c in out)
+
+
+# ==========================================================================
+# whole-pair batches through the segmented kernel
+# ==========================================================================
+
+def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
+                        steps_per_grid: int = 2, prepared=None):
+    """Decode full (y1, y2, envelope) pairs — one pair per lane — through
+    the segmented box kernel.
+
+    This is the saturation engine for large lockstep waves: unlike the
+    general kernel (ops/pallas_pair_beam_batch.py), whose per-step cost
+    grows with B through host-unrolled per-pair scalar loops, every
+    per-pair quantity here lives in [B, 1] vectors, so per-step *control*
+    cost is flat in B and the vector work rides wider tiles. The storage
+    strip S is sized per workload from the planned live spans (block
+    eviction cadence), and the emission strips are refreshed by per-lane
+    DMAs (STRIP_DMA) because whole-read planes are ~45k columns.
+
+    Planes are based at column +128 so every reset/eviction origin is
+    non-negative (a DMA precondition). Chunk boundaries stay on absolute
+    128-column grids, so outputs are bit-identical to the general kernel
+    and the XLA planned engine (same windowed-memo semantics).
+
+    Raises on workloads whose geometry cannot fit VMEM — the caller
+    falls back to the general kernel.
+
+    STATUS (r4, measured on the bundled pairs): bit-identical to the
+    general kernel (16/16 at B=16), but not yet faster — the wide-strip
+    step body (span buckets pinned high by whichever lane is in a
+    degenerate envelope region, [BC,512] gathers, grouped score matmuls)
+    runs ~163 us/step at B=16 vs the general kernel's ~93 us. It is the
+    architectural direction for the saturated headline (per-step control
+    flat in B; see docs/ROOFLINE.md §4) and is kept tested
+    (tests/test_box_kernel.py) but is NOT dispatched by the production
+    driver; per-group span bucketing and a leaner score bridge are the
+    known next steps.
+    """
+    W = beam_width
+    A = len(alphabet)
+    n = len(pairs)
+    preps = (prepared if prepared is not None else
+             [prepare_box(y1, y2, env, cap=None, smax=1 << 30)
+              for y1, y2, env in pairs])
+    span = max(max(pb["span"]) for pb in preps)
+    S_strip = ((span + 2 + 2 * CH + 255) // 256) * 256
+
+    B = ((n + 7) // 8) * 8
+    b1 = b2 = 128
+    N = max(pb["n"] for pb in preps)
+    N_pad = ((N + 511) // 512) * 512
+    K = steps_per_grid
+    if N_pad % K:
+        N_pad = ((N_pad + K - 1) // K) * K
+
+    def _L(maxT, max_sm):
+        need = max(b1 + maxT + 2, max_sm + b1 + S_strip)
+        return ((need + 1023) // 1024) * 1024
+
+    L1 = _L(max(pb["U"] for pb in preps),
+            max(int(pb["sm0"].max()) for pb in preps))
+    L2 = _L(max(pb["V"] for pb in preps),
+            max(int(pb["sm1"].max()) for pb in preps))
+
+    est = _vmem_est(B, L1, L2, S=S_strip, strip_dma=True)
+    if est > _VMEM_BUDGET:
+        raise ValueError(
+            f"pair_beam_box_batch: geometry needs ~{est >> 20} MiB VMEM "
+            f"(B={B}, S={S_strip}, L1={L1}, L2={L2})")
+
+    # lane-major planes (8 rows per lane; STRIP_DMA layout)
+    y1p = np.full((8 * B, L1), _NEG, np.float32)
+    y2p = np.full((8 * B, L2), _NEG, np.float32)
+    plan_mat = np.zeros((8 * B, N_pad), np.int32)
+    plan_mat[0 * B:1 * B, :] = C0RUN
+    plan_mat[7 * B:8 * B, 0] = 1  # every lane col 0 resets (origin 0)
+
+    for b, pb in enumerate(preps):
+        nn = pb["n"]
+        sl = slice(0, nn)
+        plan_mat[0 * B + b, sl] = pb["plan"][0]
+        plan_mat[1 * B + b, sl] = pb["plan"][1] + np.where(
+            pb["plan"][2] > pb["plan"][1], b1, 0)
+        plan_mat[2 * B + b, sl] = pb["plan"][2] + np.where(
+            pb["plan"][2] > pb["plan"][1], b1, 0)
+        plan_mat[3 * B + b, sl] = pb["plan"][3] + np.where(
+            pb["plan"][4] > pb["plan"][3], b2, 0)
+        plan_mat[4 * B + b, sl] = pb["plan"][4] + np.where(
+            pb["plan"][4] > pb["plan"][3], b2, 0)
+        plan_mat[5 * B + b, sl] = pb["sm0"] + b1
+        plan_mat[6 * B + b, sl] = pb["sm1"] + b2
+        plan_mat[5 * B + b, nn:] = pb["sm0"][-1] + b1
+        plan_mat[6 * B + b, nn:] = pb["sm1"][-1] + b2
+        plan_mat[7 * B + b, 0] = 1
+        plan_mat[5 * B + b, 0] = b1 - 128
+        plan_mat[6 * B + b, 0] = b2 - 128
+        p1 = _pack_plane6(pb["y1"])
+        p2 = _pack_plane6(pb["y2"])
+        y1p[8 * b:8 * b + 6, b1:b1 + p1.shape[1]] = p1
+        y2p[8 * b:8 * b + 6, b2:b2 + p2.shape[1]] = p2
+
+    prov = _run_kernel(jnp.asarray(y1p), jnp.asarray(y2p),
+                       jnp.asarray(plan_mat), B, W, A, L1, L2,
+                       K=K, N=N_pad, S=S_strip, STRIP_DMA=True)
+    prov = np.asarray(prov).reshape(-1, B, 128)
+    out = []
+    for b, pb in enumerate(preps):
+        words = prov[:, b, :].reshape(-1)
+        out.append(_traceback_box(words, 0, pb["fin"], W, A, alphabet))
+    return out

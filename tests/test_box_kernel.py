@@ -103,3 +103,31 @@ def test_box_driver_overflow_routing():
     want = planned(boxes)
     bad = [i for i in range(len(boxes)) if seqs[i] != want[i]]
     assert not bad, f"driver output diverges at {bad}"
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas kernel needs TPU hardware")
+def test_fullpair_engine_matches_general_kernel():
+    """pair_beam_box_batch (whole pairs through the segmented kernel,
+    HBM strip DMAs, per-workload strip width) must be bit-identical to
+    the general lockstep kernel on synthetic pairs."""
+    from poreover_tpu.ops.pallas_box_beam import pair_beam_box_batch
+    from poreover_tpu.ops.pallas_pair_beam_batch import (
+        pair_beam_pallas_batch,
+    )
+
+    rng2 = np.random.default_rng(11)
+
+    def softmax_log(T, S=5):
+        x = rng2.normal(size=(T, S)) * 2
+        return (x - np.log(np.exp(x).sum(1, keepdims=True))).astype(
+            np.float32)
+
+    pairs = []
+    for (U, V, band) in [(500, 540, 30), (320, 300, 25), (700, 650, 40)]:
+        y1, y2 = softmax_log(U), softmax_log(V)
+        lo = np.clip((np.arange(U) * V) // U - band, 0, V - 1)
+        hi = np.clip((np.arange(U) * V) // U + band, 1, V)
+        pairs.append((y1, y2, np.stack([lo, hi], 1).astype(np.int64)))
+    want = pair_beam_pallas_batch(pairs, beam_width=5)
+    got = pair_beam_box_batch(pairs, beam_width=5)
+    assert got == want

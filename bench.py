@@ -276,13 +276,44 @@ def bench_beam():
     # saturated throughput: the scan's per-step cost is nearly flat in the
     # vmap batch axis, so reads/s/chip is measured at a full wave (the two
     # bundled reads replicated to B=32); outputs asserted identical
-    SAT_B = int(os.environ.get("BENCH_BEAM_SAT_B", "128"))  # 256 measured no better (69s, same reads/s)
+    import jax
+
+    SAT_B = int(os.environ.get("BENCH_BEAM_SAT_B", "128"))
     ys_sat = (ys * ((SAT_B + len(ys) - 1) // len(ys)))[:SAT_B]
-    out_sat = beam_search_batch(ys_sat, beam_width=25)  # warm
-    out_sat, sat, _ = _timed(
-        lambda: beam_search_batch(ys_sat, beam_width=25), n=3)
-    assert all(out_sat[i] == seqs[i % len(ys)] for i in range(SAT_B)), \
-        "replicated 1D beam outputs diverge"
+    sat_engine = "xla_scan"
+    sat = None
+    if jax.default_backend() == "tpu":
+        # saturated throughput engine: the Pallas 1D beam kernel
+        # (ops/pallas_beam1d.py) — the XLA scan's per-step cost scales
+        # with its [B,125,125] equality cubes and plateaus ~6 reads/s;
+        # the kernel's lane-table replaces them with [B,128] planes.
+        # Device-resident methodology as elsewhere.
+        try:
+            from poreover_tpu.ops.pallas_beam1d import (
+                fetch_beam1d, launch_beam1d, prepare_beam1d,
+            )
+
+            t0 = time.perf_counter()
+            prep = prepare_beam1d(ys_sat, beam_width=25)
+            out_sat = fetch_beam1d(prep, launch_beam1d(prep))
+            log(f"beam[sat pallas B={SAT_B}]: warm (incl compile) "
+                f"{time.perf_counter() - t0:.1f}s")
+            out_sat, sat, _ = _timed(
+                lambda: fetch_beam1d(prep, launch_beam1d(prep)), n=3)
+            assert all(out_sat[i] == seqs[i % len(ys)]
+                       for i in range(SAT_B)), \
+                "pallas beam1d outputs diverge from XLA engine"
+            sat_engine = "pallas_beam1d"
+        except Exception:
+            log("beam sat: pallas_beam1d FAILED, falling back to XLA")
+            traceback.print_exc(file=sys.stderr)
+            sat = None
+    if sat is None:
+        out_sat = beam_search_batch(ys_sat, beam_width=25)  # warm
+        out_sat, sat, _ = _timed(
+            lambda: beam_search_batch(ys_sat, beam_width=25), n=3)
+        assert all(out_sat[i] == seqs[i % len(ys)] for i in range(SAT_B)), \
+            "replicated 1D beam outputs diverge"
     total_T_sat = sum(len(y) for y in ys_sat)
     cpu_per_read = cpu / len(ys)
 
@@ -292,6 +323,7 @@ def bench_beam():
         tpu_s=round(tpu, 3), tpu_s_med=round(tpu_med, 3),
         cpu_s=round(cpu, 3),
         vs_baseline=round(cpu / tpu, 3),
+        sat_engine=sat_engine,
         sat_batch=SAT_B,
         sat_s=round(sat, 3),
         reads_per_s_sat=round(SAT_B / sat, 3),

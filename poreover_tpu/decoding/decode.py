@@ -103,6 +103,22 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
 
     def dispatch(batch, kind, bucket):
         if algorithm == "beam":
+            if (kind == "poreover" and jax.default_backend() == "tpu"
+                    and not jax.config.jax_enable_x64):
+                # plain-CTC beam rides the Pallas lane-table kernel
+                # (ops/pallas_beam1d.py, ~6x the XLA scan's saturated
+                # throughput); dispatch is async, strings decode at fetch
+                from ..ops.pallas_beam1d import (
+                    fetch_beam1d, launch_beam1d, prepare_beam1d,
+                )
+
+                prep = prepare_beam1d(
+                    [e[2].log_prob for e in batch], beam_width=beam_width)
+                outs = launch_beam1d(prep)
+                return lambda: [
+                    (e[0], s)
+                    for e, s in zip(batch, fetch_beam1d(prep, outs))
+                ]
             from ..ops.beam import beam_search_batch
 
             # beam_search_batch pads/buckets internally; dispatch cost is

@@ -1,0 +1,402 @@
+"""Pallas 1D CTC beam-search kernel (plain-CTC "poreover" model).
+
+The 1D analogue of the 2D pair kernels: the reference's hot loop
+(BeamSearch.h:18-58 over PrefixTree.h:478-489 nodes, pruning
+Beam.h:93-108) as ONE sequential-grid kernel over time steps, B reads in
+lockstep. Unlike the 2D search there is no envelope/window storage: a
+candidate's state is a single float (plain CTC keeps one path-probability
+per prefix), so the whole beam state is eight [B, 128] planes and the
+per-step body is pure VPU lane work:
+
+- candidate table: C = W*(A+1) lanes (W=25, A=4 -> 125 <= 128): W "stay"
+  slots then W*A children, exactly the XLA engine's layout (ops/beam.py).
+- winner selection: W rounds of masked max + first-lane + key-dedup
+  sweep — the same selection the 2D kernels use, equivalent to the XLA
+  engine's tril-dedup + lax.top_k because duplicate keys carry identical
+  states (ops/beam.py:178-180).
+- stay/child updates: per-winner masked-max hash-join lookups against
+  the old table (125 tiny [B,128] reductions replace the XLA engine's
+  [B,125,125] equality cubes — the reason that engine's per-step cost is
+  ~125x this one's).
+- emissions: all reads share the time index, so ONE DMA per RING steps
+  refreshes a [6B, RING] plane strip (4 chars, gap, root cumulative
+  blank), and the per-step column select is two VPU ops.
+- provenance: winner source lanes packed 4-per-int32, flushed to HBM
+  every 128 steps; the traceback runs as a tiny jitted reverse scan on
+  device (fetching raw provenance through the dev tunnel would cost more
+  than the kernel).
+
+Differentially validated against ops/beam.py (the XLA engine), which is
+itself pinned to the enumeration oracles and the reference C++ trie
+(tests/test_beam.py, native/beam1d_cpu.cpp).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = np.float32(-1e30)
+_M1 = np.int32(np.uint32(2654435761).astype(np.int32))
+_M2 = np.int32(40503)
+RING = 2048
+
+
+def _build_kernel(B: int, W: int, A: int, L: int, NTOT: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = W * (A + 1)
+    assert C <= 128
+    PB = max(B, 8)
+    PW = (W + 3) // 4  # packed provenance words per step (4 x 8 bits)
+    assert PW <= 8
+
+    def kernel(y_ref, len_ref, prov_ref, st_out, val_out,
+               K1, K2, PK1, PK2, CHR, PCH, ST, VAL,
+               yr, pv_s, dma_sem):
+        i = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PB, 128), 1)
+        lane1k = jax.lax.broadcasted_iota(jnp.int32, (PB, 1024), 1)
+
+        rb = pl.multiple_of((i // RING) * RING, 128)
+
+        @pl.when(i % RING == 0)
+        def _ring():
+            cp = pltpu.make_async_copy(
+                y_ref.at[:, pl.ds(rb, RING)], yr, dma_sem.at[0])
+            cp.start()
+            cp.wait()
+
+        # ---- per-read emission scalars at t = i ----
+        col = i - rb
+        ck = pl.multiple_of((col // 128) * 128, 128)
+        sub = col - ck
+        yv = []  # [B,1] per plane row class c (chars, gap, root_prev)
+        laneB = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        for c in range(6):
+            chunk = yr[c * B:(c + 1) * B, pl.ds(ck, 128)]
+            yv.append(jnp.sum(jnp.where(laneB == sub, chunk, 0.0),
+                              axis=1, keepdims=True))
+
+        def vlan(x):  # [B,1] -> [PB,128]
+            if PB > B:
+                x = jnp.concatenate(
+                    [x, jnp.full((PB - B, 1), _NEG, jnp.float32)], axis=0)
+            return jnp.broadcast_to(x, (PB, 128))
+
+        gap_v = vlan(yv[A])
+        root_v = vlan(yv[A + 1])
+
+        lenv = len_ref[:, 0:1]  # [PB,1] read lengths
+        adv = (i < lenv) & (i > 0)  # padded steps: exact no-op
+        adv_l = jnp.broadcast_to(adv, (PB, 128))
+
+        @pl.when(i == 0)
+        def _init():
+            slot_c = lane - W  # child slots W..W+A-1 hold root children
+            isc = (slot_c >= 0) & (slot_c < A)
+            e0 = jnp.full((PB, 128), _NEG, jnp.float32)
+            for c in range(A):
+                e0 = jnp.where(slot_c == c, vlan(yv[c]), e0)
+            K1[:, :] = jnp.where(isc, slot_c + 1, 0)
+            K2[:, :] = jnp.where(isc, slot_c + 1, 0)
+            PK1[:, :] = jnp.zeros((PB, 128), jnp.int32)
+            PK2[:, :] = jnp.zeros((PB, 128), jnp.int32)
+            CHR[:, :] = jnp.where(isc, slot_c, -1)
+            PCH[:, :] = jnp.full((PB, 128), -1, jnp.int32)
+            ST[:, :] = jnp.where(isc, e0, _NEG)
+            VAL[:, :] = jnp.where(isc, 1.0, 0.0)
+            pv_s[:, :] = jnp.zeros((PB, 1024), jnp.int32)
+
+        @pl.when(i > 0)
+        def _step():
+            k1 = K1[:, :]
+            k2 = K2[:, :]
+            pk1 = PK1[:, :]
+            pk2 = PK2[:, :]
+            chs = CHR[:, :]
+            pchs = PCH[:, :]
+            st = ST[:, :]
+            val = VAL[:, :]
+
+            # ---- winner selection (dedup + top-W) ----
+            avail = val > 0
+            BIG = jnp.int32(129)
+            chpack = (chs & 255) | ((pchs + 1) << 8)
+            firsts, hass, kw1s, kw2s, pk1s, pk2s, cps, sts = (
+                [], [], [], [], [], [], [], [])
+            for w in range(W):
+                s_m = jnp.where(avail, st, _NEG)
+                has = jnp.max(jnp.where(avail, 1.0, 0.0), axis=1,
+                              keepdims=True) > 0
+                m = jnp.max(s_m, axis=1, keepdims=True)
+                first = jnp.min(
+                    jnp.where(avail & (s_m == m), lane, BIG),
+                    axis=1, keepdims=True)
+                oh = lane == first
+
+                def pick(x):
+                    return jnp.sum(jnp.where(oh, x, 0), axis=1,
+                                   keepdims=True)
+
+                kw1 = pick(k1)
+                kw2 = pick(k2)
+                avail = avail & ~((k1 == kw1) & (k2 == kw2))
+                firsts.append(first)
+                hass.append(has)
+                kw1s.append(kw1)
+                kw2s.append(kw2)
+                pk1s.append(pick(pk1))
+                pk2s.append(pick(pk2))
+                cps.append(pick(chpack))
+                sts.append(pick(st).astype(jnp.float32))
+
+            vld = val > 0
+
+            def lookup(q1, q2):
+                # [B,1] query key -> old-table state (duplicates carry
+                # identical state, masked max recovers the match)
+                return jnp.max(
+                    jnp.where(vld & (k1 == q1) & (k2 == q2), st, _NEG),
+                    axis=1, keepdims=True)
+
+            # ---- per-winner updates ----
+            nk1 = jnp.zeros((PB, 128), jnp.int32)
+            nk2 = jnp.zeros((PB, 128), jnp.int32)
+            npk1 = jnp.zeros((PB, 128), jnp.int32)
+            npk2 = jnp.zeros((PB, 128), jnp.int32)
+            nch = jnp.full((PB, 128), -1, jnp.int32)
+            npch = jnp.full((PB, 128), -1, jnp.int32)
+            nst = jnp.full((PB, 128), _NEG, jnp.float32)
+            nval = jnp.zeros((PB, 128), jnp.float32)
+
+            for w in range(W):
+                chw = cps[w] & 255
+                pchw = (cps[w] >> 8) - 1
+                y_w = jnp.full((PB, 1), _NEG, jnp.float32)
+                for c in range(A):
+                    y_w = jnp.where(chw == c, vlan(yv[c])[:, 0:1], y_w)
+                # stay: parent at t-1 (root parent = cumulative blank)
+                pp = lookup(pk1s[w], pk2s[w])
+                is_root = (pk1s[w] == 0) & (pk2s[w] == 0)
+                pp = jnp.where(is_root, root_v[:, 0:1], pp)
+                stay = jnp.logaddexp(pp + y_w, sts[w] + gap_v[:, 0:1])
+                okw = hass[w]
+                sel = lane == w
+                nk1 = jnp.where(sel, kw1s[w], nk1)
+                nk2 = jnp.where(sel, kw2s[w], nk2)
+                npk1 = jnp.where(sel, pk1s[w], npk1)
+                npk2 = jnp.where(sel, pk2s[w], npk2)
+                nch = jnp.where(sel, chw, nch)
+                npch = jnp.where(sel, pchw, npch)
+                nst = jnp.where(sel & okw, stay, nst)
+                nval = jnp.where(sel & okw, 1.0, nval)
+                # children
+                for c in range(A):
+                    ck1 = kw1s[w] * _M1 + (c + 1)
+                    ck2 = kw2s[w] * _M2 + (c + 1)
+                    cprev = lookup(ck1, ck2)
+                    child = jnp.logaddexp(
+                        sts[w] + vlan(yv[c])[:, 0:1],
+                        cprev + gap_v[:, 0:1])
+                    selc = lane == (W + w * A + c)
+                    nk1 = jnp.where(selc, ck1, nk1)
+                    nk2 = jnp.where(selc, ck2, nk2)
+                    npk1 = jnp.where(selc, kw1s[w], npk1)
+                    npk2 = jnp.where(selc, kw2s[w], npk2)
+                    nch = jnp.where(selc, c, nch)
+                    npch = jnp.where(selc, chw, npch)
+                    nst = jnp.where(selc & okw, child, nst)
+                    nval = jnp.where(selc & okw, 1.0, nval)
+
+            K1[:, :] = jnp.where(adv_l, nk1, k1)
+            K2[:, :] = jnp.where(adv_l, nk2, k2)
+            PK1[:, :] = jnp.where(adv_l, npk1, pk1)
+            PK2[:, :] = jnp.where(adv_l, npk2, pk2)
+            CHR[:, :] = jnp.where(adv_l, nch, chs)
+            PCH[:, :] = jnp.where(adv_l, npch, pchs)
+            ST[:, :] = jnp.where(adv_l, nst, st)
+            VAL[:, :] = jnp.where(adv_l, nval, val)
+
+            # ---- provenance: winner source lanes, 4 per int32; lane
+            # (i%128)*PW + k of the [PB,1024] block accumulator. On
+            # non-advancing steps store 0 (decoded as "no move").
+            words = []
+            for k in range(PW):
+                word = jnp.zeros((PB, 1), jnp.int32)
+                for m in range(4):
+                    w = 4 * k + m
+                    if w < W:
+                        wv = jnp.where(hass[w] & adv,
+                                       firsts[w] + 1, 0)
+                        word = word | (wv << (8 * m))
+                words.append(word)
+            base = (i % 128) * 8
+            acc = pv_s[:, :]
+            for k in range(PW):
+                acc = jnp.where(lane1k == base + k, words[k], acc)
+            pv_s[:, :] = acc
+
+        @pl.when((i % 128 == 127) | (i == NTOT - 1))
+        def _flush():
+            cp = pltpu.make_async_copy(
+                pv_s, prov_ref.at[pl.ds((i // 128) * PB, PB), :],
+                dma_sem.at[1])
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == NTOT - 1)
+        def _fin():
+            # outputs live in HBM (ANY): a VMEM output block would be
+            # round-tripped through HBM on every step of an "arbitrary"
+            # grid (see pallas_pair_beam_batch provenance note)
+            for j, (src, dst) in enumerate(((ST, st_out), (VAL, val_out))):
+                cp = pltpu.make_async_copy(src, dst, dma_sem.at[j])
+                cp.start()
+                cp.wait()
+
+    return kernel, C, PB
+
+
+@partial(jax.jit, static_argnames=("B", "W", "A", "L"))
+def _run_kernel(yp, lens, B: int, W: int, A: int, L: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = L
+    kernel, C, PB = _build_kernel(B, W, A, L, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PB, 128), jnp.int32),    # K1
+            pltpu.VMEM((PB, 128), jnp.int32),    # K2
+            pltpu.VMEM((PB, 128), jnp.int32),    # PK1
+            pltpu.VMEM((PB, 128), jnp.int32),    # PK2
+            pltpu.VMEM((PB, 128), jnp.int32),    # CHR
+            pltpu.VMEM((PB, 128), jnp.int32),    # PCH
+            pltpu.VMEM((PB, 128), jnp.float32),  # ST
+            pltpu.VMEM((PB, 128), jnp.float32),  # VAL
+            pltpu.VMEM((6 * B, RING), jnp.float32),  # yr
+            pltpu.VMEM((PB, 1024), jnp.int32),   # pv_s
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    prov, st, val = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((((N + 127) // 128) * PB, 1024),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((PB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((PB, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(yp, lens)
+    return prov, st, val
+
+
+@partial(jax.jit, static_argnames=("W", "A", "PB"))
+def _traceback_device(prov, st, val, lens, W: int, A: int, PB: int):
+    """Reverse provenance walk on device (jnp scan over time)."""
+    C = W * (A + 1)
+    nblk = prov.shape[0] // PB
+    words = prov.reshape(nblk, PB, 128, 8)
+    words = jnp.transpose(words, (1, 0, 2, 3)).reshape(PB, nblk * 128, 8)
+
+    lane = jnp.arange(128)
+    scores = jnp.where((val > 0) & (lane[None, :] < C), st, -np.inf)
+    j0 = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [PB]
+
+    N = words.shape[1]
+
+    def back(j, wt):
+        # wt [PB, 8] packed winner source lanes (+1; 0 = no advance)
+        is_child = j >= W
+        c = jnp.where(is_child, (j - W) % A, -1)
+        w = jnp.where(is_child, (j - W) // A, j)
+        word = jnp.take_along_axis(wt, (w // 4)[:, None], axis=1)[:, 0]
+        src = ((word >> (8 * (w % 4))) & 255) - 1
+        moved = src >= 0
+        j_prev = jnp.where(moved, src, j)
+        c = jnp.where(moved, c, -1)
+        return j_prev, c
+
+    jN, chars_rev = jax.lax.scan(
+        back, j0, jnp.transpose(words, (1, 0, 2)), reverse=True)
+    # jN indexes the init table (root children at lanes W..W+A-1)
+    first_char = jnp.where(jN >= W, (jN - W) % A, -1)
+    # int8 halves nothing on-device but cuts the D2H fetch 4x (values
+    # are -1..A-1); the dev tunnel moves ~20 MB/s
+    return first_char.astype(jnp.int8), chars_rev.astype(jnp.int8)
+
+
+def prepare_beam1d(ys, beam_width: int = 25, alphabet: str = "ACGT"):
+    """Pack a read batch into device planes (async device_put)."""
+    A = len(alphabet)
+    B = len(ys)
+    T = max(len(np.asarray(y)) for y in ys)
+    L = ((T + RING - 1) // RING) * RING
+    yp = np.full((6 * B, L), _NEG, np.float32)
+    lens = np.zeros((max(B, 8), 128), np.int32)
+    for b, y in enumerate(ys):
+        y = np.asarray(y, np.float32)
+        t = len(y)
+        for c in range(A):
+            yp[c * B + b, :t] = y[:, c]
+        yp[A * B + b, :t] = y[:, -1]
+        # root_prev at t = cumulative blank through t-1
+        cum = np.cumsum(y[:, -1])
+        yp[(A + 1) * B + b, 0] = 0.0
+        yp[(A + 1) * B + b, 1:t] = cum[:t - 1]
+        lens[b, :] = t
+    return dict(dev=(jax.device_put(yp), jax.device_put(lens)),
+                B=B, W=beam_width, A=A, L=L, alphabet=alphabet)
+
+
+def launch_beam1d(prep):
+    """Kernel + on-device traceback; returns small device arrays."""
+    yp, lens = prep["dev"]
+    B, W, A, L = prep["B"], prep["W"], prep["A"], prep["L"]
+    prov, st, val = _run_kernel(yp, lens, B, W, A, L)
+    return _traceback_device(prov, st, val, lens, W, A, max(B, 8))
+
+
+def fetch_beam1d(prep, outs) -> list[str]:
+    first_char = np.asarray(outs[0])
+    chars_rev = np.asarray(outs[1])  # [N, PB] int8
+    alphabet = prep["alphabet"]
+    out = []
+    for b in range(prep["B"]):
+        cs = chars_rev[:, b]
+        cs = cs[cs >= 0]
+        head = ([alphabet[int(first_char[b])]]
+                if int(first_char[b]) >= 0 else [])
+        out.append("".join(head + [alphabet[c] for c in cs]))
+    return out
+
+
+def beam1d_pallas_batch(ys, beam_width: int = 25, alphabet: str = "ACGT",
+                        model: str = "ctc") -> list[str]:
+    """Beam-search decode a batch of reads through the Pallas kernel.
+    Plain CTC only; other model kinds take the XLA engine."""
+    assert model == "ctc"
+    if len(ys) == 0:
+        return []
+    prep = prepare_beam1d(ys, beam_width=beam_width, alphabet=alphabet)
+    return fetch_beam1d(prep, launch_beam1d(prep))

@@ -141,3 +141,17 @@ def test_real_read_scale():
     outs = pair_beam_pallas_batch(
         [(m1.log_prob, m2.log_prob, env)] * 8, beam_width=5)
     assert all(o == oracle for o in outs)
+
+
+def test_beam1d_kernel_matches_xla_engine():
+    """Pallas 1D beam kernel == XLA engine (ops/beam.py) on mixed-length
+    synthetic reads, width 25 (the reference 1D default). The XLA engine
+    is itself pinned to the enumeration oracles and the C++ trie
+    (tests/test_beam.py)."""
+    from poreover_tpu.ops.beam import beam_search_batch
+    from poreover_tpu.ops.pallas_beam1d import beam1d_pallas_batch
+
+    ys = [softmax_log(T) for T in (300, 257, 512, 100, 421, 380, 256, 64)]
+    got = beam1d_pallas_batch(ys, beam_width=25)
+    want = beam_search_batch(ys, beam_width=25)
+    assert got == want

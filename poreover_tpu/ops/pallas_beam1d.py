@@ -347,13 +347,18 @@ def _traceback_device(prov, st, val, lens, W: int, A: int, PB: int):
 
 
 def prepare_beam1d(ys, beam_width: int = 25, alphabet: str = "ACGT"):
-    """Pack a read batch into device planes (async device_put)."""
+    """Pack a read batch into device planes (async device_put).
+
+    The batch pads to a multiple of 8 lanes (dummy length-1 reads) so the
+    [6B, RING] ring DMA rows stay 8-aligned for Mosaic; fetch drops the
+    padding."""
     A = len(alphabet)
-    B = len(ys)
+    n_real = len(ys)
+    B = max(8, ((n_real + 7) // 8) * 8)
     T = max(len(np.asarray(y)) for y in ys)
     L = ((T + RING - 1) // RING) * RING
     yp = np.full((6 * B, L), _NEG, np.float32)
-    lens = np.zeros((max(B, 8), 128), np.int32)
+    lens = np.ones((max(B, 8), 128), np.int32)
     for b, y in enumerate(ys):
         y = np.asarray(y, np.float32)
         t = len(y)
@@ -366,7 +371,8 @@ def prepare_beam1d(ys, beam_width: int = 25, alphabet: str = "ACGT"):
         yp[(A + 1) * B + b, 1:t] = cum[:t - 1]
         lens[b, :] = t
     return dict(dev=(jax.device_put(yp), jax.device_put(lens)),
-                B=B, W=beam_width, A=A, L=L, alphabet=alphabet)
+                B=B, n_real=n_real, W=beam_width, A=A, L=L,
+                alphabet=alphabet)
 
 
 def launch_beam1d(prep):
@@ -382,7 +388,7 @@ def fetch_beam1d(prep, outs) -> list[str]:
     chars_rev = np.asarray(outs[1])  # [N, PB] int8
     alphabet = prep["alphabet"]
     out = []
-    for b in range(prep["B"]):
+    for b in range(prep["n_real"]):
         cs = chars_rev[:, b]
         cs = cs[cs >= 0]
         head = ([alphabet[int(first_char[b])]]

@@ -567,38 +567,54 @@ def bench_pair():
                                        launch_prepared(prep_sat)), n=3)
             assert all(out_sat[i] == seqs_tpu[i % n_pairs]
                        for i in range(SAT_B)), "replicated outputs diverge"
-            # alternative saturation shape: two pipelined waves of 8
-            # through the per-step-eviction kernel (the production
-            # --threads 8 path); keep whichever is faster
-            try:
-                preps8 = [prepare_pairs(wl_sat[:8], beam_width=5),
-                          prepare_pairs(wl_sat[8:], beam_width=5)]
+            # alternative saturation shapes: pipelined waves through the
+            # per-step-eviction kernel (the production --threads N path);
+            # keep whichever sustains the most pairs/s
+            best_rate = SAT_B / sat_time
+            sat_shape = f"1x{SAT_B}"
+            for wave_n, wave_sz in ((2, 8), (3, 5)):
+                try:
+                    total = wave_n * wave_sz
+                    wls = (workloads * ((total + n_pairs - 1)
+                                        // n_pairs))[:total]
+                    prepsN = [prepare_pairs(wls[k * wave_sz:
+                                                (k + 1) * wave_sz],
+                                            beam_width=5)
+                              for k in range(wave_n)]
 
-                def run_waves():
-                    hs = [(p, launch_prepared(p)) for p in preps8]
-                    return [s for p, h in hs for s in fetch_prepared(p, h)]
+                    def run_waves(prepsN=prepsN):
+                        hs = [(p, launch_prepared(p)) for p in prepsN]
+                        return [s for p, h in hs
+                                for s in fetch_prepared(p, h)]
 
-                out8 = run_waves()  # warm
-                out8, sat8, _ = _timed(run_waves, n=3)
-                assert out8 == out_sat, "wave-of-8 outputs diverge"
-                log(f"pair[sat 2x8 pipelined]: {sat8:.2f}s "
-                    f"(vs B=16 single launch {sat_time:.2f}s)")
-                if sat8 < sat_time:
-                    sat_time = sat8
-            except Exception:
-                log("pair sat 2x8 variant FAILED (non-fatal)")
-                traceback.print_exc(file=sys.stderr)
+                    outw = run_waves()  # warm
+                    outw, satw, _ = _timed(run_waves, n=3)
+                    assert all(outw[i] == seqs_tpu[i % n_pairs]
+                               for i in range(total)), \
+                        "wave outputs diverge"
+                    rate = total / satw
+                    log(f"pair[sat {wave_n}x{wave_sz} pipelined]: "
+                        f"{satw:.2f}s = {2 * rate:.2f} reads/s "
+                        f"(vs current best {2 * best_rate:.2f})")
+                    if rate > best_rate:
+                        best_rate = rate
+                        sat_shape = f"{wave_n}x{wave_sz}"
+                except Exception:
+                    log(f"pair sat {wave_n}x{wave_sz} variant FAILED "
+                        "(non-fatal)")
+                    traceback.print_exc(file=sys.stderr)
 
             cpu_pairs_per_s = n_pairs / cpu_time
+            cells_per_pair_set = cells / n_pairs
             sat = dict(
                 sat_batch=SAT_B,
-                sat_s=round(sat_time, 3),
-                reads_per_s_sat=round(2.0 * SAT_B / sat_time, 3),
-                cells_per_s_sat=round(cells * reps / sat_time, 1),
-                vs_baseline_sat=round(
-                    (SAT_B / sat_time) / cpu_pairs_per_s, 3),
+                sat_shape=sat_shape,
+                sat_s=round(SAT_B / best_rate, 3),
+                reads_per_s_sat=round(2.0 * best_rate, 3),
+                cells_per_s_sat=round(cells_per_pair_set * best_rate, 1),
+                vs_baseline_sat=round(best_rate / cpu_pairs_per_s, 3),
             )
-            log(f"pair[sat]: B={SAT_B} {sat_time:.2f}s "
+            log(f"pair[sat {sat['sat_shape']}]: "
                 f"{sat['reads_per_s_sat']:.2f} reads/s "
                 f"({sat['vs_baseline_sat']:.1f}x single-core CPU)")
         except Exception:

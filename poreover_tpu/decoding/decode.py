@@ -104,7 +104,11 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
     def dispatch(batch, kind, bucket):
         if algorithm == "beam":
             if (kind == "poreover" and jax.default_backend() == "tpu"
-                    and not jax.config.jax_enable_x64):
+                    and not jax.config.jax_enable_x64
+                    # kernel packs W*(A+1) candidates into one 128-lane
+                    # plane; wider beams take the XLA batch path directly
+                    # instead of throwing + degrading per-read (ADVICE r4)
+                    and beam_width * 5 <= 128):
                 # plain-CTC beam rides the Pallas lane-table kernel
                 # (ops/pallas_beam1d.py, ~6x the XLA scan's saturated
                 # throughput); dispatch is async, strings decode at fetch
@@ -173,6 +177,20 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
             except Exception as exc:
                 log.warning("skipping %s: %s", path, exc)
 
+    def drain_one():
+        batch, finalize = pending.pop(0)
+        try:
+            for idx, seq in finalize():
+                results[idx] = seq
+        except Exception:
+            log.exception("batched wave failed; falling back per-read")
+            fallback(batch)
+
+    # depth-1 software pipeline: wave i+1's H2D/dispatch overlaps wave i's
+    # compute, but each finalize (which drops the wave's device buffers)
+    # runs before wave i+2 launches — HBM holds at most two waves, not the
+    # whole read set (ADVICE r4 medium; same shape as pair.py's
+    # _batched_consensus pipeline)
     for (kind, bucket), group in sorted(groups.items()):
         for w0 in range(0, len(group), wave):
             batch = group[w0 : w0 + wave]
@@ -187,14 +205,11 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
                     "batched wave dispatch failed; per-read fallback"
                 )
                 fallback(batch)
+            while len(pending) > 1:
+                drain_one()
 
-    for batch, finalize in pending:
-        try:
-            for idx, seq in finalize():
-                results[idx] = seq
-        except Exception:
-            log.exception("batched wave failed; falling back per-read")
-            fallback(batch)
+    while pending:
+        drain_one()
     return results
 
 

@@ -735,8 +735,20 @@ def _batchable(args, kind: str) -> bool:
         # --exact batches through the XLA graveyard engine, but not in
         # anchored mode (box pooling is windowed-memo Pallas territory)
         and not (getattr(args, "exact", False) and args.skip_matches)
+        # on TPU the batched exact scan (B>1) reproducibly faults the
+        # runtime worker (docs/EXACTNESS.md); exact decodes per-pair there
+        # unless the segmented-scan workaround is active (ADVICE r4 high)
+        and not (getattr(args, "exact", False) and _exact_batch_unsafe())
         and args.threads > 1
     )
+
+
+def _exact_batch_unsafe() -> bool:
+    """Batched (B>1) exact-mode scans crash the axon TPU worker; the
+    CPU backend runs them fine. See docs/EXACTNESS.md and VERDICT r4."""
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def pair_decode(args) -> None:

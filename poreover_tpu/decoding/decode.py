@@ -103,21 +103,23 @@ def _decode_batched(entries, algorithm: str, beam_width: int, wave: int):
 
     def dispatch(batch, kind, bucket):
         if algorithm == "beam":
-            if (kind == "poreover" and jax.default_backend() == "tpu"
+            if (kind in ("poreover", "bonito", "flipflop")
+                    and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
                     # kernel packs W*(A+1) candidates into one 128-lane
                     # plane; wider beams take the XLA batch path directly
                     # instead of throwing + degrading per-read (ADVICE r4)
                     and beam_width * 5 <= 128):
-                # plain-CTC beam rides the Pallas lane-table kernel
-                # (ops/pallas_beam1d.py, ~6x the XLA scan's saturated
-                # throughput); dispatch is async, strings decode at fetch
+                # all three model kinds ride the Pallas lane-table kernel
+                # (ops/pallas_beam1d.py, ~60-125x the XLA scan's per-step
+                # cost); dispatch is async, strings decode at fetch
                 from ..ops.pallas_beam1d import (
                     fetch_beam1d, launch_beam1d, prepare_beam1d,
                 )
 
                 prep = prepare_beam1d(
-                    [e[2].log_prob for e in batch], beam_width=beam_width)
+                    [e[2].log_prob for e in batch], beam_width=beam_width,
+                    model=MODEL_STRING[kind])
                 outs = launch_beam1d(prep)
                 return lambda: [
                     (e[0], s)

@@ -3,11 +3,8 @@ per launch, several boxes per lane, fully pair-vectorized.
 
 This is the throughput engine behind the anchored (``--skip_matches``)
 pair-decode mode (reference pair_decode.py:412-452 splits the lattice at
-match anchors and stitches the box decodes). Anchor boxes are small — on
-real reads the median plan is ~128 steps and the median envelope width
-~55 columns — so the per-box sequential chain is short and the
-parallelism axis is *boxes*, not pairs: hundreds of boxes pack into one
-kernel launch, each lane running its boxes back-to-back.
+match anchors and stitches the box decodes) AND the full-envelope
+saturation engine (``pair_beam_box_batch``: whole pairs, one per lane).
 
 Differences from ops/pallas_pair_beam_batch.py (the general lockstep
 kernel, same step semantics):
@@ -21,6 +18,21 @@ kernel, same step semantics):
   chunk-select shift; emission alignment is a per-block chunk-select
   re-base. Per-step instruction count — and compile time — is
   independent of B.
+- **Lazy candidate-row permutation (r5).** The candidate-table rebuild
+  logically permutes every storage column each MAIN step, but only the
+  current window (p99 ~180 columns on real reads) is ever *read* before
+  the next permute. Columns outside the hot window keep their frozen
+  payload plus a per-chunk *ancestor map* (one small int per candidate
+  row per 128-column chunk, [BC, 128] lanes-as-chunks): each step the
+  maps compose through the same one-hot gathers with a 128-column
+  payload instead of a 6*span-column one. When the window reaches a cold
+  chunk, its pending composition is applied in one exact gather. This
+  removes every span-wide per-step op (the old 2560-wide permute /
+  refresh / seed-scan and the global span-bucket ladder), making
+  per-step cost scale with the *window*, not the live span — the
+  flat-in-B property docs/ROOFLINE.md §4 requires. Exactness: ancestor
+  maps compose integer row indices; applying a k-step composition in one
+  one-hot gather selects bit-identical f32 values to k eager permutes.
 - **Segmented lanes.** A lane's plan is the concatenation of its boxes'
   plans, each padded to a 128-step block; plan row 7 flags a reset at
   the first column of a box (rows 5/6 of that column carry the new
@@ -29,12 +41,11 @@ kernel, same step semantics):
 - **FIN steps instead of score outputs.** Each box plan ends with one
   zero-width MAIN step: its winner-0 provenance slot IS the argmax
   candidate of the final table, so the traceback needs only the packed
-  provenance words — no SCO/VAL device->host fetch (the tunnel's D2H is
-  the slowest link at ~11-19 MB/s).
-- **Static geometry.** Storage is a fixed [BC, S=768] strip per axis;
-  box envelopes are narrow (split-capped at 256 columns) and the
-  block-scheduled shift keeps the live span under S. Boxes whose
-  planned span exceeds the cap are returned to the caller to route
+  provenance words — no SCO/VAL device->host fetch.
+- **Static geometry.** Storage is a fixed per-axis strip [BC, S0/S1];
+  the hot window is a static HOTW0/HOTW1 slice whose per-step extent the
+  host verifies from the plan (exact lockstep simulation). Boxes whose
+  planned span exceeds the strip are returned to the caller to route
   through the general kernel.
 
 Bit-exactness: chunk boundaries sit on absolute 128-column grids in
@@ -56,8 +67,8 @@ import numpy as np
 
 from .pallas_pair_beam_batch import (
     _NEG, _M1, _M2, MAIN, C0RUN, C1RUN, CONT0, CONT1, RSHIFT,
-    _split3, _dotb, _gather, _gather_f32, _split_wide, _plan_anchors,
-    _plan_spans,
+    _split3, _dotb, _dotx, _gather, _plan_anchors, _plan_spans,
+    _split_wide,
 )
 
 CH = 128
@@ -67,9 +78,13 @@ NB = S // CH
 
 
 def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
-                  NTOT: int, S: int = S, STRIP_DMA: bool = False):
-    # S: storage-strip width per axis — 768 for anchor boxes, larger
-    # (span-bucketed) when whole-pair plans ride the segmented kernel.
+                  NTOT: int, S0: int = S, S1: int = S,
+                  HOTW0: int = S, HOTW1: int = S,
+                  STRIP_DMA: bool = False):
+    # S0/S1: storage-strip width per axis (768 for anchor boxes; sized to
+    # the planned live span when whole pairs ride the segmented kernel).
+    # HOTW0/HOTW1: static hot-window widths — the only columns that see
+    # per-step permute/seed/refresh work; host-verified from the plan.
     # STRIP_DMA: refresh the emission strips with per-lane DMAs from the
     # (long) packed planes instead of the chunk-select chain, whose cost
     # is O(NB * L/CH) selects per block start — prohibitive at L ~ 45k.
@@ -79,20 +94,23 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
     C = W * (A + 1)
     CP = 32
     assert C <= CP and B % 8 == 0
-    assert S % CH == 0
-    NB = S // CH
+    assert S0 % CH == 0 and S1 % CH == 0
+    assert HOTW0 % CH == 0 and HOTW1 % CH == 0
+    assert HOTW0 <= S0 and HOTW1 <= S1
+    NB0 = S0 // CH
+    NB1 = S1 // CH
     PB = B
     BC = B * CP
     LAYERS = W + 1
-    WF = S - CH
     LN = 128
 
     def kernel(y1_ref, y2_ref, plan_ref, prov_ref,
                st0, ps0, st1, ps1,
                K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                ohP, ohFro, ohG, ohG2,
+               Ast0, Aps0, Ast1, Aps1,
                seeds, mx0s, mx, mx1s,
-               so0_v, so1_v, hw0_v, hw1_v,
+               so0_v, so1_v,
                es0, es1, yr0, yr1,
                esL0, esL1,
                plan_v, pv_s, dma_sem):
@@ -102,8 +120,9 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                        st0, ps0, st1, ps1,
                        K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                        ohP, ohFro, ohG, ohG2,
+                       Ast0, Aps0, Ast1, Aps1,
                        seeds, mx0s, mx, mx1s,
-                       so0_v, so1_v, hw0_v, hw1_v,
+                       so0_v, so1_v,
                        es0, es1, yr0, yr1,
                        esL0, esL1,
                        plan_v, pv_s, dma_sem)
@@ -112,8 +131,9 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                    st0, ps0, st1, ps1,
                    K1, K2, PK1, PK2, CHR, PCH, VAL, SCO,
                    ohP, ohFro, ohG, ohG2,
+                   Ast0, Aps0, Ast1, Aps1,
                    seeds, mx0s, mx, mx1s,
-                   so0_v, so1_v, hw0_v, hw1_v,
+                   so0_v, so1_v,
                    es0, es1, yr0, yr1,
                    esL0, esL1,
                    plan_v, pv_s, dma_sem):
@@ -126,6 +146,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         ccol = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 1)
         crow = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 0)
         cloc = (crow % 128) // CP * CP
+        laneB = jax.lax.broadcasted_iota(jnp.int32, (BC, LN), 1)
+        rslotF = jnp.broadcast_to(rslot.astype(jnp.float32), (BC, 128))
 
         def vrows(x):
             # [B, 1] -> [BC, 1]
@@ -171,7 +193,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         # ------------------------------------------------------------------
         # block start: segmented resets + emission strip re-base
         # ------------------------------------------------------------------
-        def _strip_refresh(es, yr, so_v, R, esL=None):
+        def _strip_refresh(es, yr, so_v, R, esL, Sx):
+            NBx = Sx // CH
             if STRIP_DMA:
                 # Whole-read planes are lane-major ([8B, R], 8 rows per
                 # lane: 6 planes + 2 pad) so each lane refreshes with ONE
@@ -185,9 +208,9 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                 cps = []
                 for b in range(B):
                     so_b = pl.multiple_of(
-                        jnp.clip(so_v[b, 0], 0, R - S), 128)
+                        jnp.clip(so_v[b, 0], 0, R - Sx), 128)
                     cps.append(pltpu.make_async_copy(
-                        yr.at[pl.ds(8 * b, 8), pl.ds(so_b, S)],
+                        yr.at[pl.ds(8 * b, 8), pl.ds(so_b, Sx)],
                         esL.at[pl.ds(8 * b, 8), :], dma_sem.at[3]))
                 for cp in cps:
                     cp.start()
@@ -209,7 +232,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             # negative (box start: so = base - 128) — chunks with no ring
             # source fill _NEG (always masked by the window tests).
             sd = jnp.concatenate([so_v // 128] * 6, axis=0)  # [6B, 1]
-            for c in range(NB):
+            for c in range(NBx):
                 acc = jnp.full((6 * B, CH), _NEG, jnp.float32)
                 for k in range(R // CH):
                     acc = jnp.where(sd + c == k,
@@ -221,16 +244,15 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             reset_v = pv(7)
             rs_r = vrows(reset_v) > 0
             rs_l = vlan(reset_v) > 0
+            rs_rB = jnp.broadcast_to(rs_r, (BC, 128))
             nso0 = jnp.where(reset_v > 0, pso0_v, so0_v[:, :])
             nso1 = jnp.where(reset_v > 0, pso1_v, so1_v[:, :])
             so0_v[:, :] = nso0
             so1_v[:, :] = nso1
-            hw0_v[:, :] = jnp.where(reset_v > 0, 2 * CH, hw0_v[:, :])
-            hw1_v[:, :] = jnp.where(reset_v > 0, 2 * CH, hw1_v[:, :])
             _strip_refresh(es0, y1_ref if STRIP_DMA else yr0, nso0, L1,
-                           esL0)
+                           esL0, S0)
             _strip_refresh(es1, y2_ref if STRIP_DMA else yr1, nso1, L2,
-                           esL1)
+                           esL1, S1)
             # storage wipe + t=0 seed column (strip col 128 == box t0)
             for stx, psx, esx in ((st0, ps0, es0), (st1, ps1, es1)):
                 y0 = jnp.full((BC, 1), _NEG, jnp.float32)
@@ -243,6 +265,9 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                 stx[:, CH:CH + 1] = jnp.where(
                     rs_r & (rslot < A), y0, wiped[:, CH:CH + 1])
                 psx[:, :] = jnp.where(rs_r, _NEG, psx[:, :])
+            # ancestor maps reset to identity (strips are now current)
+            for Am in (Ast0, Aps0, Ast1, Aps1):
+                Am[:, :] = jnp.where(rs_rB, rslotF, Am[:, :])
             slot_ok = lane < A
             K1[:, :] = jnp.where(rs_l, jnp.where(slot_ok, lane + 1, 0),
                                  K1[:, :])
@@ -371,7 +396,6 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         swept_f = jnp.where(sa, fval, wmatch * jnp.where(val > 0, 1.0, 0.0))
         swept = swept_f > 0
 
-        laneB = jax.lax.broadcasted_iota(jnp.int32, (BC, LN), 1)
         BIGL = jnp.int32(LN + 1)
 
         def rep_rows(x):
@@ -422,6 +446,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         root_r = jnp.where(is_root_r, 1.0, 0.0)
         pswept_r = jnp.where(par_r >= 0, 1.0, 0.0)
         psmask_r = jnp.where(par2_r >= 0, 1.0, 0.0)
+        is_child_rr = im_r & child_r
 
         ohP[:, :] = jnp.where((ccol == cloc + src_r) & (src_r >= 0),
                               1.0, 0.0)
@@ -464,116 +489,221 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                     preferred_element_type=jnp.float32))
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
 
-        # ---- storage permute (verbatim from the general kernel) ----
-        def _permute_span(st, ps, SP):
-            st_t = _split3(st[:, pl.ds(0, SP)])
-            ps_t = _split3(ps[:, pl.ds(0, SP)])
+        # ==================================================================
+        # hot-window bounds per axis (strip-space chunk indices)
+        # ==================================================================
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BC, 128), 1)
+
+        def hot_bounds(lo_v, hi_v, so_v, NBx):
+            wid_v = hi_v - lo_v                           # [B, 1]
+            sw_b = wid_v > 0
+            hlo_v = jnp.maximum(lo_v - 1 - so_v[:, :], 0) // CH
+            hhi_v = jnp.maximum(hi_v - 1 - so_v[:, :], 0) // CH
+            c_lo = jnp.minimum(
+                jnp.min(jnp.where(sw_b, hlo_v, NBx)), NBx)
+            c_hi = jnp.minimum(
+                jnp.max(jnp.where(sw_b, hhi_v + 1, 0)), NBx)
+            hlo_r = vrows(hlo_v)
+            hhi_r = vrows(hhi_v)
+            sw_ax_r = vrows(jnp.where(sw_b, 1, 0))
+            # per-(row, chunk) hot mask over the 128 map lanes
+            hm = ((lane128 >= hlo_r) & (lane128 <= hhi_r)
+                  & (sw_ax_r > 0))
+            return hlo_r, hhi_r, sw_ax_r, c_lo, c_hi, hm
+
+        hlo0_r, hhi0_r, swax0_r, c_lo0, c_hi0, hm0 = hot_bounds(
+            alo_v, ahi_v, so0_v, NB0)
+        hlo1_r, hhi1_r, swax1_r, c_lo1, c_hi1, hm1 = hot_bounds(
+            blo_v, bhi_v, so1_v, NB1)
+
+        # ==================================================================
+        # stage-1 ancestor-map compose (cold chunks only). One gather per
+        # 128-row group moves every map's 128-chunk payload through this
+        # step's src permute; a second carries the child-creation (ohFro)
+        # lineage. Map values are small ints (-1 dead, 0..31 same-array
+        # row, 64+r st-sourced row) — exact in bf16.
+        # ==================================================================
+        any_main = jnp.max(is_main_r) > 0
+
+        @pl.when(any_main)
+        def _compose():
             G = 128
-            pst_l, pps_l, fst_l = [], [], []
+            srcs, fros = [], []
             for g0 in range(0, BC, G):
-                g1 = min(g0 + G, BC)
-                gsz = g1 - g0
+                g1 = g0 + G
                 OH = jnp.concatenate(
-                    [ohP[g0:g1, 0:gsz].astype(jnp.bfloat16),
-                     ohFro[g0:g1, 0:gsz].astype(jnp.bfloat16)], axis=0)
+                    [ohP[g0:g1, :].astype(jnp.bfloat16),
+                     ohFro[g0:g1, :].astype(jnp.bfloat16)], axis=0)
                 X = jnp.concatenate(
-                    [t[g0:g1] for t in st_t] + [t[g0:g1] for t in ps_t],
-                    axis=1)
+                    [Ast0[g0:g1, :], Aps0[g0:g1, :],
+                     Ast1[g0:g1, :], Aps1[g0:g1, :]],
+                    axis=1).astype(jnp.bfloat16)
                 R = _dotb(OH, X)
-
-                def s3(rows, c0):
-                    return ((rows[:, c0:c0 + SP]
-                             + rows[:, c0 + SP:c0 + 2 * SP])
-                            + rows[:, c0 + 2 * SP:c0 + 3 * SP])
-
-                pst_l.append(s3(R[0:gsz], 0))
-                pps_l.append(s3(R[0:gsz], 3 * SP))
-                fst_l.append(s3(R[gsz:2 * gsz], 0))
+                srcs.append(R[0:G])
+                fros.append(R[G:2 * G])
 
             def _cat(parts):
                 return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=0)
 
-            fr_beam = _cat(pps_l)
-            fr_child = _cat(fst_l)
-            is_child_rr = (is_main_r > 0) & (rslot >= W) & (rslot < C)
-            newfr = jnp.where(is_child_rr, fr_child, fr_beam)
-            st[:, pl.ds(0, SP)] = jnp.where(src_r >= 0, _cat(pst_l), _NEG)
-            ps[:, pl.ds(0, SP)] = jnp.where(val_r > 0, newfr, _NEG)
-
-        def _span_buckets():
-            return tuple(sorted({min(256, S), min(384, S), min(512, S),
-                                 min(1024, S), S}))
-
-        def permute(st, ps, span):
-            bks = _span_buckets()
-            for bi, SP in enumerate(bks):
-                pred = span <= SP
-                if bi > 0:
-                    pred = pred & (span > bks[bi - 1])
-
-                @pl.when(pred)
-                def _p(SP=SP):
-                    _permute_span(st, ps, SP)
-
-        spn0 = jnp.max(hw0_v[:, :])
-        spn1 = jnp.max(hw1_v[:, :])
-        # on steps with no MAIN pair the permute is the identity on every
-        # live row (src_r == rslot, fr_beam == ps), so skip it wholesale
-        any_main = jnp.max(is_main_r) > 0
-
-        @pl.when(any_main)
-        def _permutes():
-            permute(st0, ps0, spn0)
-            permute(st1, ps1, spn1)
+            Rsrc = _cat(srcs)
+            Rfro = _cat(fros)
+            for ax, (Ast, Aps, hm) in enumerate(
+                    ((Ast0, Aps0, hm0), (Ast1, Aps1, hm1))):
+                s_Ast = Rsrc[:, 256 * ax:256 * ax + 128]
+                s_Aps = Rsrc[:, 256 * ax + 128:256 * ax + 256]
+                f_Ast = Rfro[:, 256 * ax:256 * ax + 128]
+                nAst = jnp.where(src_r >= 0, s_Ast, -1.0)
+                fr_anc = jnp.where(f_Ast < 0, -1.0, f_Ast + 64.0)
+                mid = jnp.where(
+                    val_r > 0,
+                    jnp.where(is_child_rr, fr_anc, s_Aps), -1.0)
+                Ast[:, :] = jnp.where(hm, Ast[:, :], nAst)
+                Aps[:, :] = jnp.where(hm, Aps[:, :], mid)
 
         # ==================================================================
-        # windowed sweeps, pair-uniform chunk grid
+        # per-axis sweep: pending-map apply, shared hot permute, seeds,
+        # windowed chunk loop, hot ps refresh
         # ==================================================================
         liC = jax.lax.broadcasted_iota(jnp.int32, (BC, CH), 1)
 
-        def sweep_axis(st, ps, es, lo_v, hi_v, so_v, hw_v):
-            wid_v = hi_v - lo_v
+        def sweep_axis(st, ps, es, Ast, Aps, lo_v, hi_v, so_v,
+                       hlo_r, hhi_r, swax_r, c_lo, c_hi, hm,
+                       Sx, HOTW):
+            NBx = Sx // CH
             so = so_v[:, :]
-            hw_v[:, :] = jnp.where(
-                wid_v > 0,
-                jnp.maximum(hw_v[:, :],
-                            ((hi_v - so + 127) // 128) * 128 + CH),
-                hw_v[:, :])
-
             lo_r = vrows(lo_v)
             hi_r = vrows(hi_v)
             so_r = vrows(so)
+            # static extent-bucket ladder: the per-step hot union extent is
+            # tiny almost always (p99 = 4 chunks on real pairs with split
+            # windows) but spikes when one lane crosses a degenerate
+            # transposed-envelope region — so the narrow slice code runs
+            # ~99% of steps and the wide slices are compiled-but-rare
+            ladder = tuple(sorted({min(512, HOTW), min(1024, HOTW), HOTW}))
+            ext_ch = (c_hi - jnp.minimum(c_lo, c_hi)) * CH
 
-            n_chunks = jnp.minimum(
-                (jnp.max(jnp.where(wid_v > 0, hi_v - so, 0)) + CH - 1) // CH,
-                NB)
+            def for_buckets(site):
+                for bi, Wb in enumerate(ladder):
+                    pred = ext_ch <= Wb
+                    if bi > 0:
+                        pred = pred & (ext_ch > ladder[bi - 1])
 
-            # seeds: own storage value at lo-1 (span-restricted scan)
-            def seed_span(SP):
-                li = jax.lax.broadcasted_iota(jnp.int32, (BC, SP), 1)
-                tpos = so_r + li
+                    @pl.when(pred)
+                    def _s(Wb=Wb):
+                        c_off = pl.multiple_of(
+                            jnp.minimum(c_lo * CH, Sx - Wb), 128)
+                        liH = jax.lax.broadcasted_iota(
+                            jnp.int32, (BC, Wb), 1)
+                        chH = c_off // CH + liH // CH
+                        hmW = ((chH >= hlo_r) & (chH <= hhi_r)
+                               & (swax_r > 0))
+                        site(Wb, c_off, liH, hmW)
+
+            # ---- pending-map apply for chunks entering the hot window.
+            # Rare (windows advance a chunk every ~200 steps/lane), so the
+            # gathers sit under a pl.when on an any-pending scalar.
+            def prep_chunk(kc, carry):
+                kk = pl.multiple_of(jnp.minimum(kc * CH, Sx - CH), 128)
+                hotk = ((kc >= hlo_r) & (kc <= hhi_r) & (swax_r > 0))
+                a_st = jnp.sum(
+                    jnp.where(lane128 == kc, Ast[:, :], 0.0),
+                    axis=1, keepdims=True)
+                a_ps = jnp.sum(
+                    jnp.where(lane128 == kc, Aps[:, :], 0.0),
+                    axis=1, keepdims=True)
+                pend = hotk & ((a_st != rslot.astype(jnp.float32))
+                               | (a_ps != rslot.astype(jnp.float32)))
+
+                @pl.when(jnp.max(jnp.where(pend, 1, 0)) > 0)
+                def _apply():
+                    st_old = st[:, pl.ds(kk, CH)]
+                    ps_old = ps[:, pl.ds(kk, CH)]
+                    ai_st = a_st.astype(jnp.int32)
+                    ai_ps = a_ps.astype(jnp.int32)
+                    oh_a = jnp.where(
+                        (ccol == cloc + ai_st) & (ai_st >= 0), 1.0, 0.0)
+                    new_st = _gather(oh_a, _split3(st_old), BC)
+                    oh_pp = jnp.where(
+                        (ccol == cloc + ai_ps) & (ai_ps >= 0)
+                        & (ai_ps < 64), 1.0, 0.0)
+                    oh_pt = jnp.where(
+                        (ccol == cloc + (ai_ps - 64)) & (ai_ps >= 64),
+                        1.0, 0.0)
+                    v_ps = _gather(oh_pp, _split3(ps_old), BC)
+                    v_st = _gather(oh_pt, _split3(st_old), BC)
+                    new_ps = jnp.where(ai_ps >= 64, v_st, v_ps)
+                    st[:, pl.ds(kk, CH)] = jnp.where(
+                        hotk, jnp.where(ai_st >= 0, new_st, _NEG), st_old)
+                    ps[:, pl.ds(kk, CH)] = jnp.where(
+                        hotk, jnp.where(ai_ps >= 0, new_ps, _NEG), ps_old)
+                return carry
+
+            jax.lax.fori_loop(c_lo, c_hi, prep_chunk, 0)
+            # hot chunks are now physically current: maps -> identity
+            Ast[:, :] = jnp.where(hm, rslotF, Ast[:, :])
+            Aps[:, :] = jnp.where(hm, rslotF, Aps[:, :])
+
+            # ---- shared hot permute (this step's src, all hot chunks) ----
+            def _permute_site(Wb, c_off, liH, hmW):
+                @pl.when(any_main)
+                def _permute_hot():
+                    stv = st[:, pl.ds(c_off, Wb)]
+                    psv = ps[:, pl.ds(c_off, Wb)]
+                    st_t = _split3(stv)
+                    ps_t = _split3(psv)
+                    G = 128
+                    pst_l, pps_l, fst_l = [], [], []
+                    for g0 in range(0, BC, G):
+                        g1 = min(g0 + G, BC)
+                        gsz = g1 - g0
+                        OH = jnp.concatenate(
+                            [ohP[g0:g1, 0:gsz].astype(jnp.bfloat16),
+                             ohFro[g0:g1, 0:gsz].astype(jnp.bfloat16)],
+                            axis=0)
+                        X = jnp.concatenate(
+                            [t[g0:g1] for t in st_t]
+                            + [t[g0:g1] for t in ps_t],
+                            axis=1)
+                        R = _dotb(OH, X)
+
+                        def s3(rows, c0):
+                            return ((rows[:, c0:c0 + Wb]
+                                     + rows[:, c0 + Wb:c0 + 2 * Wb])
+                                    + rows[:, c0 + 2 * Wb:c0 + 3 * Wb])
+
+                        pst_l.append(s3(R[0:gsz], 0))
+                        pps_l.append(s3(R[0:gsz], 3 * Wb))
+                        fst_l.append(s3(R[gsz:2 * gsz], 0))
+
+                    def _cat(parts):
+                        return parts[0] if len(parts) == 1 else (
+                            jnp.concatenate(parts, axis=0))
+
+                    fr_beam = _cat(pps_l)
+                    fr_child = _cat(fst_l)
+                    newfr = jnp.where(is_child_rr, fr_child, fr_beam)
+                    new_st = jnp.where(src_r >= 0, _cat(pst_l), _NEG)
+                    new_ps = jnp.where(val_r > 0, newfr, _NEG)
+                    st[:, pl.ds(c_off, Wb)] = jnp.where(hmW, new_st, stv)
+                    ps[:, pl.ds(c_off, Wb)] = jnp.where(hmW, new_ps, psv)
+
+            for_buckets(_permute_site)
+
+            # ---- seeds: own storage value at lo-1 (hot slice only) ----
+            def _seed_site(Wb, c_off, liH, hmW):
+                tposH = so_r + c_off + liH
                 seeds[:, :] = jnp.max(
-                    jnp.where(tpos == lo_r - 1, st[:, pl.ds(0, SP)], _NEG),
+                    jnp.where(tposH == lo_r - 1, st[:, pl.ds(c_off, Wb)],
+                              _NEG),
                     axis=1, keepdims=True)
 
-            bks = _span_buckets()
-            spn = jnp.max(hw_v[:, :])
-            for bi, SP in enumerate(bks):
-                pred = spn <= SP
-                if bi > 0:
-                    pred = pred & (spn > bks[bi - 1])
-
-                @pl.when(pred)
-                def _s(SP=SP):
-                    seed_span(SP)
-
+            for_buckets(_seed_site)
             seeds[:, :] = jnp.where(sw_r > 0, seeds[:, :], _NEG)
             mx[:, :] = jnp.full((BC, 1), _NEG, jnp.float32)
 
             def chunk(kc, carry):
-                kk = pl.multiple_of(
-                    jnp.minimum(kc * CH, S - CH), 128)
+                kk = pl.multiple_of(jnp.minimum(kc * CH, Sx - CH), 128)
                 kkp = pl.multiple_of(jnp.maximum(kk - CH, 0), 128)
 
                 em = jnp.full((BC, CH), _NEG, jnp.float32)
@@ -596,7 +726,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                 in_m = jnp.where(
                     (t_abs >= lo_r) & (t_abs < hi_r) & (sw_r > 0), 1.0, 0.0)
                 fro_pos = t_abs - 1 - so_r
-                fro = jnp.where((fro_pos >= 0) & (fro_pos < WF), fro, _NEG)
+                fro = jnp.where((fro_pos >= 0) & (fro_pos < Sx - CH),
+                                fro, _NEG)
                 ext = jnp.where(root_r > 0, rootv, fro)
 
                 gapm = jnp.where(in_m > 0, gap, 0.0)
@@ -647,28 +778,22 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                                         seeds[:, :])
                 return carry
 
-            jax.lax.fori_loop(0, n_chunks, chunk, 0)
+            jax.lax.fori_loop(c_lo, c_hi, chunk, 0)
 
-            spn2 = jnp.max(hw_v[:, :])
-            for bi, SP in enumerate(bks):
-                pred = spn2 <= SP
-                if bi > 0:
-                    pred = pred & (spn2 > bks[bi - 1])
+            # ---- hot ps refresh (cold chunks ride the stage-2 maps) ----
+            def _refresh_site(Wb, c_off, liH, hmW):
+                pp = _gather(ohG2, _split3(st[:, pl.ds(c_off, Wb)]), BC)
+                ps[:, pl.ds(c_off, Wb)] = jnp.where(
+                    hmW & (psmask_r > 0), pp, ps[:, pl.ds(c_off, Wb)])
 
-                @pl.when(pred)
-                def _rf(SP=SP):
-                    pp = _gather(ohG2, _split3(st[:, pl.ds(0, SP)]), BC)
-                    ps[:, pl.ds(0, SP)] = jnp.where(
-                        psmask_r > 0, pp, ps[:, pl.ds(0, SP)])
+            for_buckets(_refresh_site)
 
         # ---- dynamic layer count: exact row-space parent-chain depth ----
         # Same computation as the general kernel (pallas_pair_beam_batch
         # :751-757): iterate the sweep's own parent one-hot (ohG) so a
         # swept row whose parent key is held only by a *child* row (prefix
         # s = w+c+d: parent(s) is the child (w, c), not a winner) still
-        # counts its full chain. The earlier winner-space W^2 shortcut
-        # undercounted exactly that case (ADVICE r3), leaving the layer
-        # fori_loop un-converged. Depth values <= W+1 are exact in bf16.
+        # counts its full chain. Depth values <= W+1 are exact in bf16.
         dvec = jnp.ones((BC, 1), jnp.float32)
         for _ in range(LAYERS - 1):
             pdl = []
@@ -682,44 +807,76 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         n_layers = jnp.minimum(
             jnp.max(dvec).astype(jnp.int32), LAYERS)
 
-        sweep_axis(st0, ps0, es0, alo_v, ahi_v, so0_v, hw0_v)
+        sweep_axis(st0, ps0, es0, Ast0, Aps0, alo_v, ahi_v, so0_v,
+                   hlo0_r, hhi0_r, swax0_r, c_lo0, c_hi0, hm0, S0, HOTW0)
         # per-axis window maxes persist across CONT parts (general-kernel
         # semantics): MAIN resets, CONT0/CONT1 accumulate their axis
         mx0s[:, :] = jnp.where(
             is_main_r > 0, mx[:, :],
             jnp.where(c0cont_r > 0, jnp.maximum(mx0s[:, :], mx[:, :]),
                       mx0s[:, :]))
-        sweep_axis(st1, ps1, es1, blo_v, bhi_v, so1_v, hw1_v)
+        sweep_axis(st1, ps1, es1, Ast1, Aps1, blo_v, bhi_v, so1_v,
+                   hlo1_r, hhi1_r, swax1_r, c_lo1, c_hi1, hm1, S1, HOTW1)
         mx1s[:, :] = jnp.where(
             is_main_r > 0, mx[:, :],
             jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
                       mx1s[:, :]))
 
+        # ---- stage-2 cold ps-map refresh compose: eager `_rf` semantics
+        # (ps[r] <- st[par2(r)] wherever the parent key is alive) carried
+        # into the ancestor maps for every non-hot chunk. One gather of
+        # both axes' st-maps by the parent one-hot.
+        G = 128
+        t_l = []
+        for g0 in range(0, BC, G):
+            g1 = g0 + G
+            Xc = jnp.concatenate(
+                [Ast0[g0:g1, :], Ast1[g0:g1, :]],
+                axis=1).astype(jnp.bfloat16)
+            t_l.append(_dotb(ohG2[g0:g1, :].astype(jnp.bfloat16), Xc))
+        Tg = t_l[0] if len(t_l) == 1 else jnp.concatenate(t_l, axis=0)
+        for ax, (Aps, hm) in enumerate(((Aps0, hm0), (Aps1, hm1))):
+            ta = Tg[:, 128 * ax:128 * ax + 128]
+            tagged = jnp.where(ta < 0, -1.0, ta + 64.0)
+            Aps[:, :] = jnp.where(
+                (~hm) & (psmask_r > 0), tagged, Aps[:, :])
+
         # ---- block-end storage eviction: vectorized chunk-select shift
+        # (ancestor maps shift chunk-for-chunk with the strips; shifted-in
+        # chunks are freshly _NEG so identity maps are correct for them)
         @pl.when(pcol == 127)
         def _shift():
-            for stx, psx, so_v, hw_v, pso_v in (
-                    (st0, ps0, so0_v, hw0_v, pso0_v),
-                    (st1, ps1, so1_v, hw1_v, pso1_v)):
+            for stx, psx, Astx, Apsx, so_v, pso_v, Sx in (
+                    (st0, ps0, Ast0, Aps0, so0_v, pso0_v, S0),
+                    (st1, ps1, Ast1, Aps1, so1_v, pso1_v, S1)):
+                NBx = Sx // CH
                 ns = jnp.maximum(so_v[:, :], pso_v)
                 d_v = (ns - so_v[:, :]) // 128
                 d_r = vrows(d_v)
                 for ref in (stx, psx):
-                    for j in range(NB):
+                    for j in range(NBx):
                         acc = jnp.full((BC, CH), _NEG, jnp.float32)
-                        for k in range(NB - j):
+                        for k in range(NBx - j):
                             acc = jnp.where(
                                 d_r == k,
                                 ref[:, (j + k) * CH:(j + k + 1) * CH], acc)
                         ref[:, j * CH:(j + 1) * CH] = acc
+                for Am in (Astx, Apsx):
+                    acc = rslotF
+                    for k in range(NBx):
+                        rolled = pltpu.roll(Am[:, :], (128 - k) % 128, 1)
+                        rolled = jnp.where(lane128 < NBx - k, rolled,
+                                           rslotF)
+                        acc = jnp.where(d_r == k, rolled, acc)
+                    Am[:, :] = acc
                 so_v[:, :] = so_v[:, :] + d_v * 128
-                hw_v[:, :] = jnp.maximum(hw_v[:, :] - d_v * 128, 0)
 
-        # ---- scores: [BC,1] -> [PB,LN] via grouped exact ones-matmul ----
+        # ---- scores: [BC,1] -> [PB,LN] block-ones matmul. The mask has
+        # exactly one nonzero source per (pair, lane) column, and HIGHEST
+        # f32 splits the payload exactly, so this is an exact relayout.
         tot_r = mx0s[:, :] + mx1s[:, :]
         X = jnp.where(laneB == rslot, jnp.broadcast_to(tot_r, (BC, LN)),
                       0.0)
-        Xt = _split3(X)
         outs = []
         GS = 512
         PG = GS // CP  # pairs per group
@@ -728,11 +885,10 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             M = jnp.where(
                 (jax.lax.broadcasted_iota(jnp.int32, (PG, GS), 1) // CP)
                 == jax.lax.broadcasted_iota(jnp.int32, (PG, GS), 0),
-                1.0, 0.0).astype(jnp.bfloat16)[:, 0:g1 - g0]
-            cat = jnp.concatenate([t[g0:g1] for t in Xt], axis=1)
-            R = _dotb(M[0:(g1 - g0) // CP], cat)
-            outs.append((R[:, 0:LN] + R[:, LN:2 * LN]) + R[:, 2 * LN:3 * LN])
-        sc_lanes = jnp.concatenate(outs, axis=0)
+                1.0, 0.0)[:, 0:g1 - g0]
+            outs.append(_dotx(M[0:(g1 - g0) // CP], X[g0:g1]))
+        sc_lanes = outs[0] if len(outs) == 1 else jnp.concatenate(
+            outs, axis=0)
         new_sco = jnp.where((fval > 0) & (lane < C), sc_lanes, _NEG)
         SCO[:, :] = jnp.where(sa, new_sco, sco)
 
@@ -755,10 +911,11 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
 
 
 @partial(jax.jit,
-         static_argnames=("B", "W", "A", "L1", "L2", "K", "N", "S",
-                          "STRIP_DMA"))
+         static_argnames=("B", "W", "A", "L1", "L2", "K", "N", "S0", "S1",
+                          "HOTW0", "HOTW1", "STRIP_DMA"))
 def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
-                L1: int, L2: int, K: int, N: int, S: int = S,
+                L1: int, L2: int, K: int, N: int, S0: int = S, S1: int = S,
+                HOTW0: int = S, HOTW1: int = S,
                 STRIP_DMA: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -766,8 +923,9 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
     # grid=(N // K): a non-dividing K would silently drop the last
     # N % K steps — a tail box's FIN step (ADVICE r3)
     assert N % K == 0, f"steps_per_grid {K} must divide padded plan {N}"
-    kernel, C, CP, PB, BC = _build_kernel(B, W, A, L1, L2, K, N, S=S,
-                                          STRIP_DMA=STRIP_DMA)
+    kernel, C, CP, PB, BC = _build_kernel(
+        B, W, A, L1, L2, K, N, S0=S0, S1=S1, HOTW0=HOTW0, HOTW1=HOTW1,
+        STRIP_DMA=STRIP_DMA)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -781,10 +939,10 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BC, S), jnp.float32),    # st0
-            pltpu.VMEM((BC, S), jnp.float32),    # ps0
-            pltpu.VMEM((BC, S), jnp.float32),    # st1
-            pltpu.VMEM((BC, S), jnp.float32),    # ps1
+            pltpu.VMEM((BC, S0), jnp.float32),   # st0
+            pltpu.VMEM((BC, S0), jnp.float32),   # ps0
+            pltpu.VMEM((BC, S1), jnp.float32),   # st1
+            pltpu.VMEM((BC, S1), jnp.float32),   # ps1
             pltpu.VMEM((PB, 128), jnp.int32),    # K1
             pltpu.VMEM((PB, 128), jnp.int32),    # K2
             pltpu.VMEM((PB, 128), jnp.int32),    # PK1
@@ -797,16 +955,18 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((BC, 128), jnp.float32),  # ohFro
             pltpu.VMEM((BC, 512), jnp.float32),  # ohG (512-row groups)
             pltpu.VMEM((BC, 128), jnp.float32),  # ohG2
+            pltpu.VMEM((BC, 128), jnp.float32),  # Ast0 (ancestor maps)
+            pltpu.VMEM((BC, 128), jnp.float32),  # Aps0
+            pltpu.VMEM((BC, 128), jnp.float32),  # Ast1
+            pltpu.VMEM((BC, 128), jnp.float32),  # Aps1
             pltpu.VMEM((BC, 1), jnp.float32),    # seeds
             pltpu.VMEM((BC, 1), jnp.float32),    # mx0s
             pltpu.VMEM((BC, 1), jnp.float32),    # mx
             pltpu.VMEM((BC, 1), jnp.float32),    # mx1s
             pltpu.VMEM((B, 1), jnp.int32),       # so0_v
             pltpu.VMEM((B, 1), jnp.int32),       # so1_v
-            pltpu.VMEM((B, 1), jnp.int32),       # hw0_v
-            pltpu.VMEM((B, 1), jnp.int32),       # hw1_v
-            pltpu.VMEM((6 * B, S), jnp.float32),  # es0
-            pltpu.VMEM((6 * B, S), jnp.float32),  # es1
+            pltpu.VMEM((6 * B, S0), jnp.float32),  # es0
+            pltpu.VMEM((6 * B, S1), jnp.float32),  # es1
             # packed planes stay in HBM in STRIP_DMA mode (the refresh
             # DMAs slice them per lane); box mode stages them in VMEM
             pltpu.VMEM((8, 128) if STRIP_DMA else (6 * B, L1),
@@ -814,9 +974,9 @@ def _run_kernel(y1p, y2p, plan_mat, B: int, W: int, A: int,
             pltpu.VMEM((8, 128) if STRIP_DMA else (6 * B, L2),
                        jnp.float32),              # yr1
             # lane-major staging strips for the DMA refresh
-            pltpu.VMEM((8 * B, S) if STRIP_DMA else (8, 128),
+            pltpu.VMEM((8 * B, S0) if STRIP_DMA else (8, 128),
                        jnp.float32),              # esL0
-            pltpu.VMEM((8 * B, S) if STRIP_DMA else (8, 128),
+            pltpu.VMEM((8 * B, S1) if STRIP_DMA else (8, 128),
                        jnp.float32),              # esL1
             pltpu.VMEM((8 * B, 128), jnp.int32),   # plan_v
             pltpu.VMEM((PB, 128), jnp.int32),      # pv_s
@@ -902,24 +1062,54 @@ def prepare_box(y1, y2, envelope, cap: int = 256, smax: int = SMAX):
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _vmem_est(B: int, L1: int, L2: int, S: int = S,
+def _vmem_est(B: int, L1: int, L2: int, S0: int = S, S1: int = S,
               strip_dma: bool = False) -> int:
     """Scratch bytes the kernel will request (mirrors _run_kernel's
     scratch_shapes; ADVICE r3: yr0/yr1 grow with the packed lane length
     and must be guarded against the VMEM budget)."""
     CP = 32
     BC, PB = B * CP, B
-    b = 4 * BC * S * 4                       # st0 ps0 st1 ps1
+    b = 2 * BC * (S0 + S1) * 4               # st0 ps0 st1 ps1
     b += 8 * PB * 128 * 4                    # K1..SCO
     b += (3 * BC * 128 + BC * 512) * 4       # ohP ohFro ohG2 + ohG
-    b += 4 * BC * 4 + 4 * B * 4              # seeds/mx*/so/hw vecs
-    b += 2 * 6 * B * S * 4                   # es0 es1
+    b += 4 * BC * 128 * 4                    # ancestor maps
+    b += 4 * BC * 4 + 2 * B * 4              # seeds/mx*/so vecs
+    b += 6 * B * (S0 + S1) * 4               # es0 es1
     if strip_dma:
-        b += 2 * 8 * B * S * 4               # esL staging (planes in HBM)
+        b += 8 * B * (S0 + S1) * 4           # esL staging (planes in HBM)
     else:
         b += 6 * B * (L1 + L2) * 4           # yr0 yr1 (VMEM planes)
     b += 8 * B * 128 * 4 + PB * 128 * 4      # plan_v pv_s
     return b
+
+
+def _hot_need(plan_mat: np.ndarray, B: int, NB0: int, NB1: int,
+              reset_free: bool = True):
+    """Exact lockstep simulation of the kernel's per-step hot-chunk range
+    [c_lo, c_hi) across all lanes; returns the max extent per axis (in
+    chunks). Only valid for launches without mid-lane resets (full-pair
+    mode: one reset per lane at step 0)."""
+    t = plan_mat[0 * B:1 * B].astype(np.int64)
+    N = t.shape[1]
+    out = []
+    for rows, NBx, skip in (((1, 2, 5), NB0, C1RUN), ((3, 4, 6), NB1,
+                                                      C0RUN)):
+        lo = plan_mat[rows[0] * B:(rows[0] + 1) * B].astype(np.int64)
+        hi = plan_mat[rows[1] * B:(rows[1] + 1) * B].astype(np.int64)
+        sm = plan_mat[rows[2] * B:(rows[2] + 1) * B].astype(np.int64)
+        sw = (t != skip) & (hi > lo)
+        so = np.empty((B, N), np.int64)
+        cur = sm[:, 0].copy()  # reset origin at lane col 0
+        for k0 in range(0, N, 128):
+            k1 = min(k0 + 128, N)
+            so[:, k0:k1] = cur[:, None]
+            cur = np.maximum(cur, sm[:, k1 - 1])
+        hlo = np.where(sw, np.maximum(lo - 1 - so, 0) // 128, NBx)
+        hhi = np.where(sw, np.maximum(hi - 1 - so, 0) // 128 + 1, 0)
+        c_lo = np.minimum(hlo.min(axis=0), NBx)
+        c_hi = np.minimum(hhi.max(axis=0), NBx)
+        out.append(int(np.maximum(c_hi - np.minimum(c_lo, c_hi), 0).max()))
+    return out[0], out[1]
 
 
 def box_beam_pallas(boxes, beam_width: int = 5, alphabet: str = "ACGT",
@@ -1107,46 +1297,42 @@ def _traceback_box(words: np.ndarray, start: int, fin: int,
 # ==========================================================================
 
 def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
-                        steps_per_grid: int = 2, prepared=None):
+                        steps_per_grid: int = 2, prepared=None,
+                        cap: int = 256):
     """Decode full (y1, y2, envelope) pairs — one pair per lane — through
     the segmented box kernel.
 
     This is the saturation engine for large lockstep waves: unlike the
     general kernel (ops/pallas_pair_beam_batch.py), whose per-step cost
     grows with B through host-unrolled per-pair scalar loops, every
-    per-pair quantity here lives in [B, 1] vectors, so per-step *control*
-    cost is flat in B and the vector work rides wider tiles. The storage
-    strip S is sized per workload from the planned live spans (block
-    eviction cadence), and the emission strips are refreshed by per-lane
-    DMAs (STRIP_DMA) because whole-read planes are ~45k columns.
+    per-pair quantity here lives in [B, 1] vectors, per-axis storage
+    strips are sized from the planned live spans, and (r5) the lazy
+    ancestor maps confine per-step permute/seed/refresh work to a static
+    hot window whose extent the host verifies by exact lockstep
+    simulation of the plan (_hot_need). Wide envelope windows are split
+    (``cap``) so the hot window stays narrow even across the degenerate
+    transposed-envelope regions whose *span* cannot shrink (the next row
+    re-reads the wide row's full output, docs/ROOFLINE.md §7).
 
     Planes are based at column +128 so every reset/eviction origin is
     non-negative (a DMA precondition). Chunk boundaries stay on absolute
     128-column grids, so outputs are bit-identical to the general kernel
-    and the XLA planned engine (same windowed-memo semantics).
+    and the XLA planned engine (same windowed-memo semantics); window
+    splitting preserves the f32 chain order (_split_wide docstring).
 
     Raises on workloads whose geometry cannot fit VMEM — the caller
     falls back to the general kernel.
-
-    STATUS (r4, measured on the bundled pairs): bit-identical to the
-    general kernel (16/16 at B=16), but not yet faster — the wide-strip
-    step body (span buckets pinned high by whichever lane is in a
-    degenerate envelope region, [BC,512] gathers, grouped score matmuls)
-    runs ~163 us/step at B=16 vs the general kernel's ~93 us. It is the
-    architectural direction for the saturated headline (per-step control
-    flat in B; see docs/ROOFLINE.md §4) and is kept tested
-    (tests/test_box_kernel.py) but is NOT dispatched by the production
-    driver; per-group span bucketing and a leaner score bridge are the
-    known next steps.
     """
     W = beam_width
     A = len(alphabet)
     n = len(pairs)
     preps = (prepared if prepared is not None else
-             [prepare_box(y1, y2, env, cap=None, smax=1 << 30)
+             [prepare_box(y1, y2, env, cap=cap, smax=1 << 30)
               for y1, y2, env in pairs])
-    span = max(max(pb["span"]) for pb in preps)
-    S_strip = ((span + 2 + 2 * CH + 255) // 256) * 256
+    sp0 = max(pb["span"][0] for pb in preps)
+    sp1 = max(pb["span"][1] for pb in preps)
+    S0 = _al(sp0 + 2 + 2 * CH)
+    S1 = _al(sp1 + 2 + 2 * CH)
 
     B = ((n + 7) // 8) * 8
     b1 = b2 = 128
@@ -1156,20 +1342,20 @@ def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
     if N_pad % K:
         N_pad = ((N_pad + K - 1) // K) * K
 
-    def _L(maxT, max_sm):
-        need = max(b1 + maxT + 2, max_sm + b1 + S_strip)
+    def _L(maxT, max_sm, Sx):
+        need = max(b1 + maxT + 2, max_sm + b1 + Sx)
         return ((need + 1023) // 1024) * 1024
 
     L1 = _L(max(pb["U"] for pb in preps),
-            max(int(pb["sm0"].max()) for pb in preps))
+            max(int(pb["sm0"].max()) for pb in preps), S0)
     L2 = _L(max(pb["V"] for pb in preps),
-            max(int(pb["sm1"].max()) for pb in preps))
+            max(int(pb["sm1"].max()) for pb in preps), S1)
 
-    est = _vmem_est(B, L1, L2, S=S_strip, strip_dma=True)
+    est = _vmem_est(B, L1, L2, S0=S0, S1=S1, strip_dma=True)
     if est > _VMEM_BUDGET:
         raise ValueError(
             f"pair_beam_box_batch: geometry needs ~{est >> 20} MiB VMEM "
-            f"(B={B}, S={S_strip}, L1={L1}, L2={L2})")
+            f"(B={B}, S0={S0}, S1={S1}, L1={L1}, L2={L2})")
 
     # lane-major planes (8 rows per lane; STRIP_DMA layout)
     y1p = np.full((8 * B, L1), _NEG, np.float32)
@@ -1202,9 +1388,17 @@ def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
         y1p[8 * b:8 * b + 6, b1:b1 + p1.shape[1]] = p1
         y2p[8 * b:8 * b + 6, b2:b2 + p2.shape[1]] = p2
 
+    # static hot widths from the exact lockstep simulation (+1 chunk
+    # safety; clamped to the strip, where the kernel degenerates to the
+    # always-correct full-width eager permute)
+    need0, need1 = _hot_need(plan_mat, B, S0 // CH, S1 // CH)
+    HOTW0 = min(max((need0 + 1) * CH, 384), S0)
+    HOTW1 = min(max((need1 + 1) * CH, 384), S1)
+
     prov = _run_kernel(jnp.asarray(y1p), jnp.asarray(y2p),
                        jnp.asarray(plan_mat), B, W, A, L1, L2,
-                       K=K, N=N_pad, S=S_strip, STRIP_DMA=True)
+                       K=K, N=N_pad, S0=S0, S1=S1,
+                       HOTW0=HOTW0, HOTW1=HOTW1, STRIP_DMA=True)
     prov = np.asarray(prov).reshape(-1, B, 128)
     out = []
     for b, pb in enumerate(preps):

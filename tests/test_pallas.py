@@ -155,3 +155,18 @@ def test_beam1d_kernel_matches_xla_engine():
     got = beam1d_pallas_batch(ys, beam_width=25)
     want = beam_search_batch(ys, beam_width=25)
     assert got == want
+
+
+def test_beam1d_kernel_all_model_kinds():
+    """The r5 generalized kernel (2-component node state) == XLA engine
+    for bonito (ctc_merge_repeats, PrefixTree.h:649-663) and flip-flop
+    (ctc_flipflop, PrefixTree.h:548-574); flip-flop reads 2A emission
+    columns and no gap plane."""
+    from poreover_tpu.ops.beam import beam_search_batch
+    from poreover_tpu.ops.pallas_beam1d import beam1d_pallas_batch
+
+    for model, S in (("ctc_merge_repeats", 5), ("ctc_flipflop", 8)):
+        ys = [softmax_log(T, S) for T in (300, 257, 512, 100, 401, 77)]
+        got = beam1d_pallas_batch(ys, beam_width=25, model=model)
+        want = beam_search_batch(ys, beam_width=25, model=model)
+        assert got == want, model

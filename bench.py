@@ -122,6 +122,52 @@ def build_workload():
                                f"{DATA}/reads/read2.npy")
 
 
+def _synth_read_pair(rng, n_bases: int):
+    """Simulate one 1D^2 read pair: a random template strand and its
+    reverse-complement strand (with ~5% substitutions), each rendered as
+    CTC emissions with geometric dwell (~7 steps/base, the bundled reads'
+    ratio) and Gaussian logit noise. Gives VERDICT-r4-item-2's 'synthetic
+    pairs of realistic 40-70k lengths with real envelopes' — the envelope
+    comes from the real stage-1..3 pipeline, not from the simulator."""
+    comp = 3  # ACGT: complement = 3 - code
+    seq = rng.integers(0, 4, n_bases)
+    seq2 = seq.copy()
+    m = rng.random(n_bases) < 0.05
+    seq2[m] = (seq2[m] + rng.integers(1, 4, int(m.sum()))) % 4
+    seq2 = (comp - seq2)[::-1]
+
+    def sim(s):
+        dw = 1 + rng.geometric(0.16, size=len(s))
+        T = int(dw.sum())
+        base_of = np.repeat(np.arange(len(s)), dw)
+        first = np.ones(T, bool)
+        first[1:] = base_of[1:] != base_of[:-1]
+        logits = rng.normal(0, 1.2, (T, 5)).astype(np.float32)
+        ch = np.where(first, s[base_of], 4)
+        logits[np.arange(T), ch] += 4.0
+        return (logits - np.log(np.exp(logits).sum(1, keepdims=True))
+                ).astype(np.float32)
+
+    return sim(seq), sim(seq2)
+
+
+def synth_pair_workloads(n: int, seed: int = 7):
+    """n distinct synthetic pairs through the real basecall/align/envelope
+    pipeline (temp .npy files so the exact production loaders run)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(n):
+            nb = int(rng.integers(5200, 8200))
+            y1, y2 = _synth_read_pair(rng, nb)
+            p1 = os.path.join(td, f"s{i}_1.npy")
+            p2 = os.path.join(td, f"s{i}_2.npy")
+            np.save(p1, y1)
+            np.save(p2, y2)
+            out.append(tuple(build_pair_workload(p1, p2)))
+    return out
+
+
 def _aligned_identity(a: str, b: str) -> float:
     from poreover_tpu import native
 
@@ -247,6 +293,39 @@ def bench_viterbi():
 # workload 2: 1D beam search over data/reads
 # --------------------------------------------------------------------------
 
+_SAT_READS_CACHE = []
+
+
+def _sat_reads():
+    """All 12 distinct bundled reads (VERDICT r4 item 2): the 2 .npy
+    probabilities plus checkpoint-124 basecalls of the 10 fast5s."""
+    if _SAT_READS_CACHE:
+        return list(_SAT_READS_CACHE)
+    from poreover_tpu.io.trace import model_from_trace
+
+    ys = []
+    for name in ("read1.npy", "read2.npy"):
+        m = model_from_trace(f"{DATA}/reads/{name}", "poreover")
+        ys.append(m.log_prob)
+    try:
+        fast5s = sorted(
+            f for f in os.listdir(f"{DATA}/reads") if f.endswith(".fast5"))
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            npys = _call_fast5s_to_npy(
+                td, [f"{DATA}/reads/{f}" for f in fast5s])
+            for k in sorted(npys):
+                if os.path.exists(npys[k]):
+                    ys.append(np.load(npys[k]))
+            log(f"sat reads: basecalled {len(ys)-2} fast5s in "
+                f"{time.perf_counter()-t0:.1f}s -> {len(ys)} distinct reads")
+    except Exception:
+        log("sat reads: fast5 basecall failed, using the 2 .npy reads")
+        traceback.print_exc(file=sys.stderr)
+    _SAT_READS_CACHE.extend(ys)
+    return list(ys)
+
+
 def bench_beam():
     from poreover_tpu.io.trace import model_from_trace
     from poreover_tpu.ops.beam import beam_search_batch
@@ -279,7 +358,12 @@ def bench_beam():
     import jax
 
     SAT_B = int(os.environ.get("BENCH_BEAM_SAT_B", "128"))
-    ys_sat = (ys * ((SAT_B + len(ys) - 1) // len(ys)))[:SAT_B]
+    # distinct inputs first (12 bundled reads), replication only beyond
+    ys_dist = _sat_reads()
+    ys_sat = (ys_dist * ((SAT_B + len(ys_dist) - 1) // len(ys_dist)))[:SAT_B]
+    # XLA-engine reference outputs for the distinct set (the correctness
+    # gate for the kernel's saturated run)
+    want_dist = list(seqs) + beam_search_batch(ys_dist[2:], beam_width=25)
     sat_engine = "xla_scan"
     sat = None
     if jax.default_backend() == "tpu":
@@ -300,7 +384,7 @@ def bench_beam():
                 f"{time.perf_counter() - t0:.1f}s")
             out_sat, sat, _ = _timed(
                 lambda: fetch_beam1d(prep, launch_beam1d(prep)), n=3)
-            assert all(out_sat[i] == seqs[i % len(ys)]
+            assert all(out_sat[i] == want_dist[i % len(ys_dist)]
                        for i in range(SAT_B)), \
                 "pallas beam1d outputs diverge from XLA engine"
             sat_engine = "pallas_beam1d"
@@ -312,10 +396,13 @@ def bench_beam():
         out_sat = beam_search_batch(ys_sat, beam_width=25)  # warm
         out_sat, sat, _ = _timed(
             lambda: beam_search_batch(ys_sat, beam_width=25), n=3)
-        assert all(out_sat[i] == seqs[i % len(ys)] for i in range(SAT_B)), \
-            "replicated 1D beam outputs diverge"
+        assert all(out_sat[i] == want_dist[i % len(ys_dist)]
+                   for i in range(SAT_B)), "1D beam sat outputs diverge"
     total_T_sat = sum(len(y) for y in ys_sat)
-    cpu_per_read = cpu / len(ys)
+    # CPU cost scales with time steps: normalize the measured single-core
+    # s/step to the saturated set's length mix
+    cpu_s_per_step = cpu / total_T
+    vs_sat = cpu_s_per_step * total_T_sat / sat
 
     RESULTS["beam"] = dict(
         reads_per_s=round(len(ys) / tpu, 3),
@@ -325,18 +412,19 @@ def bench_beam():
         vs_baseline=round(cpu / tpu, 3),
         sat_engine=sat_engine,
         sat_batch=SAT_B,
+        distinct_inputs=len(ys_dist),
         sat_s=round(sat, 3),
         reads_per_s_sat=round(SAT_B / sat, 3),
         # beam cells = time steps x candidate slots (W*(A+1)) per read
         cells_per_s_sat=round(total_T_sat * 25 * 5 / sat, 1),
-        vs_baseline_sat=round((SAT_B / sat) * cpu_per_read, 3),
+        vs_baseline_sat=round(vs_sat, 3),
         seq_lens=[len(s) for s in seqs],
         min_cpu_identity=round(min(idents), 5),
     )
     log(f"beam25: {len(ys)} reads T={total_T} tpu={tpu:.2f}s cpu={cpu:.2f}s "
         f"({cpu/tpu:.2f}x, min_ident={min(idents):.4f}); "
-        f"sat B={SAT_B} {sat:.2f}s {SAT_B/sat:.2f} reads/s "
-        f"({(SAT_B/sat)*cpu_per_read:.1f}x single-core)")
+        f"sat B={SAT_B} ({len(ys_dist)} distinct) {sat:.2f}s "
+        f"{SAT_B/sat:.2f} reads/s ({vs_sat:.1f}x single-core)")
 
 
 # --------------------------------------------------------------------------
@@ -373,12 +461,47 @@ def bench_flipflop():
 
     cpu = _best_of(lambda: [np_viterbi(y, mask) for y in ys], n=1)
 
+    # ---- flip-flop BEAM through the Pallas lane-table kernel (r5: the
+    # generalized 2-state kernel covers ctc_flipflop; before, flip-flop
+    # beam fell back to the ~125x-slower XLA scan). Gate: == XLA engine.
+    beam_stats = {}
+    import jax
+
+    if jax.default_backend() == "tpu":
+        try:
+            from poreover_tpu.ops.beam import beam_search_batch
+            from poreover_tpu.ops.pallas_beam1d import (
+                fetch_beam1d, launch_beam1d, prepare_beam1d,
+            )
+
+            t0 = time.perf_counter()
+            prep = prepare_beam1d(ys, beam_width=25, model="ctc_flipflop")
+            out_b = fetch_beam1d(prep, launch_beam1d(prep))
+            log(f"flipflop[beam pallas]: warm (incl compile) "
+                f"{time.perf_counter()-t0:.1f}s")
+            out_b, beam_s, _ = _timed(
+                lambda: fetch_beam1d(prep, launch_beam1d(prep)), n=3)
+            want = beam_search_batch(ys, beam_width=25,
+                                     model="ctc_flipflop")
+            assert out_b == want, "pallas flipflop beam diverges from XLA"
+            beam_stats = dict(
+                beam_engine="pallas_beam1d",
+                beam_s=round(beam_s, 3),
+                beam_reads_per_s=round(len(ys) / beam_s, 3),
+            )
+            log(f"flipflop[beam]: {beam_s:.2f}s "
+                f"({len(ys)/beam_s:.2f} reads/s, outputs == XLA engine)")
+        except Exception:
+            log("flipflop beam kernel FAILED (non-fatal)")
+            traceback.print_exc(file=sys.stderr)
+
     RESULTS["flipflop"] = dict(
         reads_per_s=round(len(ys) / tpu, 3),
         bases_per_s=round(total_T / tpu, 1),
         tpu_s=round(tpu, 3), tpu_s_med=round(tpu_med, 3),
         cpu_s=round(cpu, 3),
         vs_baseline=round(cpu / tpu, 3),
+        **beam_stats,
     )
     log(f"flipflop: {len(ys)} traces T={total_T} tpu={tpu:.3f}s "
         f"cpu={cpu:.2f}s ({cpu/tpu:.1f}x)")
@@ -402,6 +525,118 @@ def _call_fast5s_to_npy(tmpdir: str, fast5s: list) -> dict:
     return {os.path.splitext(os.path.basename(f))[0]: os.path.join(
         tmpdir, os.path.splitext(os.path.basename(f))[0] + ".npy")
         for f in fast5s}
+
+
+def _pair_saturation(workloads, seqs_tpu, cpu_time, cells):
+    """Saturated pair throughput on DISTINCT real-scale inputs (VERDICT
+    r4 item 2: no more 5-pairs-replicated headlines): the bundled real
+    pairs plus synthetic 35-60k-step pairs with pipeline-built envelopes.
+
+    Engines: (a) the full-pair segmented box kernel — one launch, every
+    pair in its own lane, flat-in-B control + lazy-map hot-window vector
+    work; (b) pipelined waves of 5 through the general kernel (the
+    production --threads path). Cross-engine outputs are asserted equal
+    (independent engines, bit-identical windowed-memo semantics).
+
+    The single-core CPU baseline (unbounded-trie C++) is timed on the
+    real pairs plus two synthetic pairs and extrapolated per-cell to the
+    full set (running it on every pair would take ~10 min/rep)."""
+    from poreover_tpu import native
+    from poreover_tpu.ops.pallas_pair_beam_batch import (
+        fetch_prepared, launch_prepared, prepare_pairs,
+    )
+
+    n_real = len(workloads)
+    SAT_PAIRS = int(os.environ.get("BENCH_PAIR_SAT", "32"))
+    t0 = time.perf_counter()
+    synth = synth_pair_workloads(max(SAT_PAIRS - n_real, 0))
+    wl_sat = list(workloads) + synth
+    n_sat = len(wl_sat)
+    sat_cells = sum(int(np.sum(env[:, 1] - env[:, 0]))
+                    for _, _, env in wl_sat)
+    log(f"pair sat: {n_sat} distinct pairs ({n_real} real + "
+        f"{len(synth)} synthetic), {sat_cells/1e6:.1f}M cells, built in "
+        f"{time.perf_counter()-t0:.1f}s")
+
+    best_rate, sat_shape, out_ref = 0.0, None, None
+
+    # (a) full-pair segmented engine, one launch, device-resident
+    try:
+        from poreover_tpu.ops.pallas_box_beam import (
+            fetch_prepared_box, launch_prepared_box, prepare_pairs_box,
+        )
+
+        t0 = time.perf_counter()
+        prep_box = prepare_pairs_box(wl_sat, beam_width=5)
+        out_box = fetch_prepared_box(prep_box, launch_prepared_box(prep_box))
+        log(f"pair[sat box B={prep_box['B']}]: warm (incl compile) "
+            f"{time.perf_counter()-t0:.1f}s")
+        out_box, box_s, _ = _timed(
+            lambda: fetch_prepared_box(prep_box,
+                                       launch_prepared_box(prep_box)), n=3)
+        assert all(out_box[i] == seqs_tpu[i] for i in range(n_real)), \
+            "box engine diverges from headline engine on the real pairs"
+        out_ref = out_box
+        best_rate, sat_shape = n_sat / box_s, f"box_1x{n_sat}"
+        log(f"pair[sat box]: {box_s:.2f}s = {2*n_sat/box_s:.2f} reads/s")
+    except Exception:
+        log("pair sat: box engine FAILED (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+
+    # (b) pipelined waves of 5 through the general kernel
+    try:
+        wave_sz = 5
+        prepsN = [prepare_pairs(wl_sat[k:k + wave_sz], beam_width=5)
+                  for k in range(0, n_sat, wave_sz)]
+
+        def run_waves(prepsN=prepsN):
+            hs = [(p, launch_prepared(p)) for p in prepsN]
+            return [s for p, h in hs for s in fetch_prepared(p, h)]
+
+        outw = run_waves()  # warm
+        outw, satw, _ = _timed(run_waves, n=3)
+        if out_ref is not None:
+            assert outw == out_ref, \
+                "general-kernel wave outputs diverge from box engine"
+        else:
+            assert all(outw[i] == seqs_tpu[i] for i in range(n_real)), \
+                "wave outputs diverge from headline engine"
+            out_ref = outw
+        rate = n_sat / satw
+        log(f"pair[sat {len(prepsN)}x{wave_sz} pipelined]: {satw:.2f}s = "
+            f"{2*rate:.2f} reads/s (box best {2*best_rate:.2f})")
+        if rate > best_rate:
+            best_rate, sat_shape = rate, f"{len(prepsN)}x{wave_sz}"
+    except Exception:
+        log("pair sat: general-kernel waves FAILED (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+
+    if not best_rate:
+        raise RuntimeError("no saturation engine succeeded")
+
+    # CPU baseline: measured cells/s on the real pairs (+2 synthetic),
+    # extrapolated per-cell to the full distinct set
+    sub = synth[:2]
+    t0 = time.perf_counter()
+    for y1, y2, env in sub:
+        native.pair_beam_row_col_cpu(y1, y2, env, beam_width=5)
+    cpu_sub_s = time.perf_counter() - t0
+    sub_cells = sum(int(np.sum(env[:, 1] - env[:, 0])) for _, _, env in sub)
+    cpu_cells_per_s = (cells + sub_cells) / (cpu_time + cpu_sub_s)
+    cpu_pairs_per_s = cpu_cells_per_s / (sat_cells / n_sat)
+    return dict(
+        sat_batch=n_sat,
+        sat_shape=sat_shape,
+        distinct_inputs=n_sat,
+        sat_s=round(n_sat / best_rate, 3),
+        reads_per_s_sat=round(2.0 * best_rate, 3),
+        cells_per_s_sat=round(sat_cells / n_sat * best_rate, 1),
+        vs_baseline_sat=round(best_rate / cpu_pairs_per_s, 3),
+        sat_baseline_note=(
+            f"cpu cells/s measured on {n_real} real + {len(sub)} "
+            f"synthetic pairs ({cpu_cells_per_s:.0f} cells/s), "
+            "extrapolated per-cell to the full distinct set"),
+    )
 
 
 def bench_pair():
@@ -551,72 +786,7 @@ def bench_pair():
     sat = {}
     if engine == "pallas_batch":
         try:
-            from poreover_tpu.ops.pallas_pair_beam_batch import (
-                fetch_prepared, launch_prepared, prepare_pairs,
-            )
-            SAT_B = 16
-            reps = (SAT_B + n_pairs - 1) // n_pairs
-            wl_sat = (workloads * reps)[:SAT_B]
-            t0 = time.perf_counter()
-            prep_sat = prepare_pairs(wl_sat, beam_width=5)
-            out_sat = fetch_prepared(prep_sat, launch_prepared(prep_sat))
-            warm = time.perf_counter() - t0
-            log(f"pair[sat B={SAT_B}]: warm (incl compile) {warm:.1f}s")
-            out_sat, sat_time, _ = _timed(
-                lambda: fetch_prepared(prep_sat,
-                                       launch_prepared(prep_sat)), n=3)
-            assert all(out_sat[i] == seqs_tpu[i % n_pairs]
-                       for i in range(SAT_B)), "replicated outputs diverge"
-            # alternative saturation shapes: pipelined waves through the
-            # per-step-eviction kernel (the production --threads N path);
-            # keep whichever sustains the most pairs/s
-            best_rate = SAT_B / sat_time
-            sat_shape = f"1x{SAT_B}"
-            for wave_n, wave_sz in ((2, 8), (3, 5)):
-                try:
-                    total = wave_n * wave_sz
-                    wls = (workloads * ((total + n_pairs - 1)
-                                        // n_pairs))[:total]
-                    prepsN = [prepare_pairs(wls[k * wave_sz:
-                                                (k + 1) * wave_sz],
-                                            beam_width=5)
-                              for k in range(wave_n)]
-
-                    def run_waves(prepsN=prepsN):
-                        hs = [(p, launch_prepared(p)) for p in prepsN]
-                        return [s for p, h in hs
-                                for s in fetch_prepared(p, h)]
-
-                    outw = run_waves()  # warm
-                    outw, satw, _ = _timed(run_waves, n=3)
-                    assert all(outw[i] == seqs_tpu[i % n_pairs]
-                               for i in range(total)), \
-                        "wave outputs diverge"
-                    rate = total / satw
-                    log(f"pair[sat {wave_n}x{wave_sz} pipelined]: "
-                        f"{satw:.2f}s = {2 * rate:.2f} reads/s "
-                        f"(vs current best {2 * best_rate:.2f})")
-                    if rate > best_rate:
-                        best_rate = rate
-                        sat_shape = f"{wave_n}x{wave_sz}"
-                except Exception:
-                    log(f"pair sat {wave_n}x{wave_sz} variant FAILED "
-                        "(non-fatal)")
-                    traceback.print_exc(file=sys.stderr)
-
-            cpu_pairs_per_s = n_pairs / cpu_time
-            cells_per_pair_set = cells / n_pairs
-            sat = dict(
-                sat_batch=SAT_B,
-                sat_shape=sat_shape,
-                sat_s=round(SAT_B / best_rate, 3),
-                reads_per_s_sat=round(2.0 * best_rate, 3),
-                cells_per_s_sat=round(cells_per_pair_set * best_rate, 1),
-                vs_baseline_sat=round(best_rate / cpu_pairs_per_s, 3),
-            )
-            log(f"pair[sat {sat['sat_shape']}]: "
-                f"{sat['reads_per_s_sat']:.2f} reads/s "
-                f"({sat['vs_baseline_sat']:.1f}x single-core CPU)")
+            sat = _pair_saturation(workloads, seqs_tpu, cpu_time, cells)
         except Exception:
             log("pair saturation measurement FAILED (non-fatal)")
             traceback.print_exc(file=sys.stderr)

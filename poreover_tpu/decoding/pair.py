@@ -641,6 +641,18 @@ def _batched_consensus(workloads, args, kind: str):
             out.extend(fetch_prepared(*pending))
     else:
         batch_fn = _batch_fn(exact=exact)
+        # an active device mesh (multi-chip entry points) shards each
+        # wave's batch dim across devices — per-pair math is local, so
+        # outputs are byte-identical to the unsharded run
+        from ..parallel.sharding import active_mesh
+
+        mesh = active_mesh()
+        if mesh is not None:
+            from functools import partial as _partial
+
+            batch_fn = _partial(batch_fn, mesh=mesh)
+            log.info("consensus waves sharded over %d-device mesh",
+                     mesh.devices.size)
         for i, chunk in enumerate(chunks):
             log.info("consensus wave %d/%d (one batched kernel launch)",
                      i + 1, len(chunks))

@@ -723,16 +723,28 @@ def _planned_scan_batch(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
 
 
 def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
-                                 model="ctc", exact: bool = False) -> list[str]:
+                                 model="ctc", exact: bool = False,
+                                 mesh=None) -> list[str]:
     """Batched plan-driven row_col pair beam search.
 
     pairs: list of (y1, y2, envelope). Pads plans (zero-width catch-runs),
     trace lengths, and window-storage widths to shared shapes, then decodes
     every pair in one vmapped scan.
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — the batch dim is
+    sharded across its devices (SPMD data parallelism; per-pair math is
+    device-local, so outputs are byte-identical to the unsharded run).
+    The batch pads to a device-count multiple with a copy of pair 0.
     """
     A = len(alphabet)
     model_id = _MODEL_IDS[model]
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    n_real_pairs = len(pairs)
+    if mesh is not None:
+        nd = mesh.devices.size
+        pad = (-len(pairs)) % nd
+        pairs = list(pairs) + [pairs[0]] * pad
 
     plans = []
     for y1, y2, envelope in pairs:
@@ -772,9 +784,19 @@ def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
         return np.pad(y, ((0, T - len(y)), (0, 0)), constant_values=LOG_0)
 
     plans = [padp(p) for p in plans]
-    y1b = jnp.asarray(np.stack([pady(p[0], T1) for p in pairs]), dtype)
-    y2b = jnp.asarray(np.stack([pady(p[1], T2) for p in pairs]), dtype)
-    stack = lambda k: jnp.asarray(np.stack([p[k] for p in plans]))
+    if mesh is None:
+        put = jnp.asarray
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+
+        def put(x, dtype=None):
+            return jax.device_put(jnp.asarray(x, dtype), sh)
+
+    y1b = put(np.stack([pady(p[0], T1) for p in pairs]), dtype)
+    y2b = put(np.stack([pady(p[1], T2) for p in pairs]), dtype)
+    stack = lambda k: put(np.stack([p[k] for p in plans]))
 
     G, grace = (EXACT_G, EXACT_GRACE) if exact else (0, 1)
     first_char, chars = _planned_scan_batch(
@@ -785,7 +807,7 @@ def beam_search_2d_planned_batch(pairs, beam_width=5, alphabet="ACGT",
     first_char = np.asarray(first_char)
     chars = np.asarray(chars)
     out = []
-    for b in range(len(pairs)):
+    for b in range(n_real_pairs):
         cs = [int(first_char[b])] + [int(c) for c in chars[b]]
         out.append("".join(alphabet[c] for c in cs if c >= 0))
     return out

@@ -76,6 +76,14 @@ S = 768            # default storage strip width per axis (6 chunks)
 SMAX = S - 2 * CH  # max planned live span a box may need (default strip)
 NB = S // CH
 
+# perf-triage ablation switches (comma list in BOXBEAM_ABLATE): disable
+# kernel sections to localize per-step cost. WRONG RESULTS when set —
+# timing experiments only, never production.
+import os as _os
+
+_ABL = frozenset(
+    x for x in _os.environ.get("BOXBEAM_ABLATE", "").split(",") if x)
+
 
 def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                   NTOT: int, S0: int = S, S1: int = S,
@@ -249,10 +257,11 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
             nso1 = jnp.where(reset_v > 0, pso1_v, so1_v[:, :])
             so0_v[:, :] = nso0
             so1_v[:, :] = nso1
-            _strip_refresh(es0, y1_ref if STRIP_DMA else yr0, nso0, L1,
-                           esL0, S0)
-            _strip_refresh(es1, y2_ref if STRIP_DMA else yr1, nso1, L2,
-                           esL1, S1)
+            if "noes" not in _ABL:
+                _strip_refresh(es0, y1_ref if STRIP_DMA else yr0, nso0,
+                               L1, esL0, S0)
+                _strip_refresh(es1, y2_ref if STRIP_DMA else yr1, nso1,
+                               L2, esL1, S1)
             # storage wipe + t=0 seed column (strip col 128 == box t0)
             for stx, psx, esx in ((st0, ps0, es0), (st1, ps1, es1)):
                 y0 = jnp.full((BC, 1), _NEG, jnp.float32)
@@ -525,7 +534,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         # ==================================================================
         any_main = jnp.max(is_main_r) > 0
 
-        @pl.when(any_main)
+        @pl.when(any_main if "nomaps" not in _ABL else (i < 0))
         def _compose():
             G = 128
             srcs, fros = [], []
@@ -639,7 +648,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                         hotk, jnp.where(ai_ps >= 0, new_ps, _NEG), ps_old)
                 return carry
 
-            jax.lax.fori_loop(c_lo, c_hi, prep_chunk, 0)
+            if "nomaps" not in _ABL:
+                jax.lax.fori_loop(c_lo, c_hi, prep_chunk, 0)
             # hot chunks are now physically current: maps -> identity
             Ast[:, :] = jnp.where(hm, rslotF, Ast[:, :])
             Aps[:, :] = jnp.where(hm, rslotF, Aps[:, :])
@@ -688,7 +698,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                     st[:, pl.ds(c_off, Wb)] = jnp.where(hmW, new_st, stv)
                     ps[:, pl.ds(c_off, Wb)] = jnp.where(hmW, new_ps, psv)
 
-            for_buckets(_permute_site)
+            if "noperm" not in _ABL:
+                for_buckets(_permute_site)
 
             # ---- seeds: own storage value at lo-1 (hot slice only) ----
             def _seed_site(Wb, c_off, liH, hmW):
@@ -786,7 +797,8 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
                 ps[:, pl.ds(c_off, Wb)] = jnp.where(
                     hmW & (psmask_r > 0), pp, ps[:, pl.ds(c_off, Wb)])
 
-            for_buckets(_refresh_site)
+            if "norefresh" not in _ABL:
+                for_buckets(_refresh_site)
 
         # ---- dynamic layer count: exact row-space parent-chain depth ----
         # Same computation as the general kernel (pallas_pair_beam_batch
@@ -806,17 +818,23 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         dvec = jnp.where(sw_r > 0, dvec, 0.0)
         n_layers = jnp.minimum(
             jnp.max(dvec).astype(jnp.int32), LAYERS)
+        if "nolayers" in _ABL:
+            n_layers = 1
 
-        sweep_axis(st0, ps0, es0, Ast0, Aps0, alo_v, ahi_v, so0_v,
-                   hlo0_r, hhi0_r, swax0_r, c_lo0, c_hi0, hm0, S0, HOTW0)
+        if "nosweep" not in _ABL:
+            sweep_axis(st0, ps0, es0, Ast0, Aps0, alo_v, ahi_v, so0_v,
+                       hlo0_r, hhi0_r, swax0_r, c_lo0, c_hi0, hm0, S0,
+                       HOTW0)
         # per-axis window maxes persist across CONT parts (general-kernel
         # semantics): MAIN resets, CONT0/CONT1 accumulate their axis
         mx0s[:, :] = jnp.where(
             is_main_r > 0, mx[:, :],
             jnp.where(c0cont_r > 0, jnp.maximum(mx0s[:, :], mx[:, :]),
                       mx0s[:, :]))
-        sweep_axis(st1, ps1, es1, Ast1, Aps1, blo_v, bhi_v, so1_v,
-                   hlo1_r, hhi1_r, swax1_r, c_lo1, c_hi1, hm1, S1, HOTW1)
+        if "nosweep" not in _ABL:
+            sweep_axis(st1, ps1, es1, Ast1, Aps1, blo_v, bhi_v, so1_v,
+                       hlo1_r, hhi1_r, swax1_r, c_lo1, c_hi1, hm1, S1,
+                       HOTW1)
         mx1s[:, :] = jnp.where(
             is_main_r > 0, mx[:, :],
             jnp.where(c1cont_r > 0, jnp.maximum(mx1s[:, :], mx[:, :]),
@@ -828,14 +846,17 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         # both axes' st-maps by the parent one-hot.
         G = 128
         t_l = []
-        for g0 in range(0, BC, G):
+        for g0 in (() if "nomaps" in _ABL else range(0, BC, G)):
             g1 = g0 + G
             Xc = jnp.concatenate(
                 [Ast0[g0:g1, :], Ast1[g0:g1, :]],
                 axis=1).astype(jnp.bfloat16)
             t_l.append(_dotb(ohG2[g0:g1, :].astype(jnp.bfloat16), Xc))
-        Tg = t_l[0] if len(t_l) == 1 else jnp.concatenate(t_l, axis=0)
-        for ax, (Aps, hm) in enumerate(((Aps0, hm0), (Aps1, hm1))):
+        Tg = (jnp.zeros((BC, 256), jnp.float32) if not t_l else
+              t_l[0] if len(t_l) == 1 else jnp.concatenate(t_l, axis=0))
+        for ax, (Aps, hm) in (
+                () if "nomaps" in _ABL else
+                enumerate(((Aps0, hm0), (Aps1, hm1)))):
             ta = Tg[:, 128 * ax:128 * ax + 128]
             tagged = jnp.where(ta < 0, -1.0, ta + 64.0)
             Aps[:, :] = jnp.where(
@@ -844,7 +865,7 @@ def _build_kernel(B: int, W: int, A: int, L1: int, L2: int, K: int,
         # ---- block-end storage eviction: vectorized chunk-select shift
         # (ancestor maps shift chunk-for-chunk with the strips; shifted-in
         # chunks are freshly _NEG so identity maps are correct for them)
-        @pl.when(pcol == 127)
+        @pl.when((pcol == 127) if "noshift" not in _ABL else (i < 0))
         def _shift():
             for stx, psx, Astx, Apsx, so_v, pso_v, Sx in (
                     (st0, ps0, Ast0, Aps0, so0_v, pso0_v, S0),
@@ -1296,11 +1317,10 @@ def _traceback_box(words: np.ndarray, start: int, fin: int,
 # whole-pair batches through the segmented kernel
 # ==========================================================================
 
-def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
-                        steps_per_grid: int = 2, prepared=None,
-                        cap: int = 256):
-    """Decode full (y1, y2, envelope) pairs — one pair per lane — through
-    the segmented box kernel.
+def prepare_pairs_box(pairs, beam_width: int = 5, alphabet: str = "ACGT",
+                      steps_per_grid: int = 2, prepared=None,
+                      cap: int = 256):
+    """Host prep + async H2D for a full-pair box-batch launch.
 
     This is the saturation engine for large lockstep waves: unlike the
     general kernel (ops/pallas_pair_beam_batch.py), whose per-step cost
@@ -1395,13 +1415,37 @@ def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
     HOTW0 = min(max((need0 + 1) * CH, 384), S0)
     HOTW1 = min(max((need1 + 1) * CH, 384), S1)
 
-    prov = _run_kernel(jnp.asarray(y1p), jnp.asarray(y2p),
-                       jnp.asarray(plan_mat), B, W, A, L1, L2,
-                       K=K, N=N_pad, S0=S0, S1=S1,
-                       HOTW0=HOTW0, HOTW1=HOTW1, STRIP_DMA=True)
+    return dict(dev=(jax.device_put(y1p), jax.device_put(y2p),
+                     jax.device_put(plan_mat)),
+                B=B, W=W, A=A, L1=L1, L2=L2, K=K, N=N_pad,
+                S0=S0, S1=S1, HOTW0=HOTW0, HOTW1=HOTW1,
+                fins=[pb["fin"] for pb in preps], alphabet=alphabet)
+
+
+def launch_prepared_box(prep):
+    y1p, y2p, plan_mat = prep["dev"]
+    return _run_kernel(y1p, y2p, plan_mat, prep["B"], prep["W"], prep["A"],
+                       prep["L1"], prep["L2"], K=prep["K"], N=prep["N"],
+                       S0=prep["S0"], S1=prep["S1"],
+                       HOTW0=prep["HOTW0"], HOTW1=prep["HOTW1"],
+                       STRIP_DMA=True)
+
+
+def fetch_prepared_box(prep, prov) -> list[str]:
+    B, W, A = prep["B"], prep["W"], prep["A"]
     prov = np.asarray(prov).reshape(-1, B, 128)
-    out = []
-    for b, pb in enumerate(preps):
-        words = prov[:, b, :].reshape(-1)
-        out.append(_traceback_box(words, 0, pb["fin"], W, A, alphabet))
-    return out
+    return [_traceback_box(prov[:, b, :].reshape(-1), 0, fin, W, A,
+                           prep["alphabet"])
+            for b, fin in enumerate(prep["fins"])]
+
+
+def pair_beam_box_batch(pairs, beam_width: int = 5, alphabet: str = "ACGT",
+                        steps_per_grid: int = 2, prepared=None,
+                        cap: int = 256):
+    """One-call wrapper: prepare + launch + fetch (see
+    prepare_pairs_box)."""
+    prep = prepare_pairs_box(pairs, beam_width=beam_width,
+                             alphabet=alphabet,
+                             steps_per_grid=steps_per_grid,
+                             prepared=prepared, cap=cap)
+    return fetch_prepared_box(prep, launch_prepared_box(prep))

@@ -29,6 +29,35 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+# ---- process-wide active mesh: drivers consult this to shard their
+# batched waves across devices (set by multi-chip entry points; the
+# reference has no equivalent — its scale-out is process pools) ----
+_ACTIVE_MESH: Mesh | None = None
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+class use_mesh:
+    """Context manager: route driver wave batches through a device mesh
+    (data-parallel sharding of the batched consensus/decode kernels)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._old = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._old
+        return False
+
+
 def shard_reads_for_host(items):
     """Static stride partition of a work list across hosts
     (the TPU-native replacement for the reference's Pool fan-out)."""

@@ -215,6 +215,64 @@ def bench_reference_cpu(workloads) -> float | None:
 # workload 1: viterbi decode
 # --------------------------------------------------------------------------
 
+def _bench_fused_viterbi():
+    """Fused basecall+decode pipeline vs the reference's two-stage one,
+    end-to-end from raw signal, same checkpoint-124 weights."""
+    import jax
+
+    from poreover_tpu.decoding.fused import (
+        fused_basecall_viterbi, make_fused_viterbi,
+    )
+    from poreover_tpu.io.fast5 import parse_fast5
+    from poreover_tpu.io.tf_checkpoint import load_keras_conv1_bigru3
+    from poreover_tpu.io.trace import model_from_trace
+    from poreover_tpu.network.model import build_model
+
+    import jax.numpy as jnp
+
+    _, signal = parse_fast5(f"{DATA}/read.fast5", scaling="standard")
+    model = build_model("conv1_bigru3")
+    params = jax.tree.map(
+        jnp.asarray,
+        load_keras_conv1_bigru3("/root/reference/data/model/checkpoint-124"))
+    run = make_fused_viterbi(model, params, window=1000)
+
+    seq = fused_basecall_viterbi(run, signal)  # warm (compile)
+    Bf = 16
+    _, fused_s, _ = _timed(
+        lambda: [fused_basecall_viterbi(run, signal) for _ in range(Bf)],
+        n=2)
+
+    # unfused pipeline on the same read: call -> .npy -> viterbi decode
+    with tempfile.TemporaryDirectory() as td:
+        from types import SimpleNamespace
+
+        from poreover_tpu.network.call import call
+
+        def unfused_once():
+            call(SimpleNamespace(
+                **{"in": f"{DATA}/read.fast5"}, out=None, dir=td,
+                weights=None, model=None, scaling="standard",
+                use_id=False, window=1000, format="npy", no_stack=False))
+            m = model_from_trace(f"{td}/read.npy", "poreover")
+            return m.viterbi_decode()
+
+        seq_unfused = unfused_once()  # warm
+        _, unfused_s, _ = _timed(
+            lambda: [unfused_once() for _ in range(Bf)], n=1)
+    assert seq == seq_unfused, (
+        "fused call+decode output differs from the two-stage pipeline")
+    log(f"viterbi[fused call+decode]: {Bf / fused_s:.2f} reads/s e2e vs "
+        f"{Bf / unfused_s:.2f} unfused ({unfused_s / fused_s:.1f}x), "
+        "outputs identical")
+    return dict(
+        fused_reads_per_s_e2e=round(Bf / fused_s, 3),
+        unfused_reads_per_s_e2e=round(Bf / unfused_s, 3),
+        fused_vs_unfused=round(unfused_s / fused_s, 3),
+        fused_match="identical",
+    )
+
+
 def bench_viterbi():
     """Methodology (VERDICT r2 item 4): the round-2 row timed per-call
     host->device transfer of a 40 MB batch over the tunneled device link —
@@ -271,7 +329,20 @@ def bench_viterbi():
     # (transducer.py:72-73: per-step argmax + gap collapse, numpy)
     cpu = _best_of(lambda: [np.argmax(y, axis=1) for _ in range(B)], n=2)
 
+    # ---- fused call+decode (r5, VERDICT item 7): signal -> sequence in
+    # one device program; only [T] f32 signal + [T] int8 path cross the
+    # link (vs [T,5] probs each way in the reference's two-stage
+    # pipeline). Gated on byte-equality with the unfused call -> .npy ->
+    # viterbi-decode pipeline on data/read.fast5.
+    fused_stats = {}
+    try:
+        fused_stats = _bench_fused_viterbi()
+    except Exception:
+        log("fused call+decode bench FAILED (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+
     RESULTS["viterbi"] = dict(
+        **fused_stats,
         reads_per_s=round(B / dev, 3),
         bases_per_s=round(B * T / dev, 1),
         single_read_latency_s=round(lat, 5),
@@ -845,6 +916,13 @@ def bench_pair():
         log("pair_exact measurement FAILED (non-fatal)")
         traceback.print_exc(file=sys.stderr)
 
+    try:
+        if len(workloads) > 1:
+            bench_pair_f64(workloads)
+    except Exception:
+        log("pair_f64 measurement FAILED (non-fatal)")
+        traceback.print_exc(file=sys.stderr)
+
 
 def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
                         threshold: int = 10):
@@ -896,6 +974,33 @@ def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
     stitched = stitch(lambda j: box_seqs[j])
     stitched_cpu = stitch(lambda j: box_cpu[j])
     box_match = sum(box_seqs[j] == box_cpu[j] for j in range(len(flat)))
+
+    # ---- classify every box mismatch (VERDICT r4 item 4a): the CPU
+    # comparison above is the f64 UNBOUNDED trie, so a mismatch can be
+    # (1) windowed-memo semantics (the TPU engines' documented contract,
+    #     docs/EXACTNESS.md) — Pallas == the f64 windowed-memo oracle;
+    # (2) an f32 near-tie — Pallas == the independent f32 XLA engine,
+    #     both != the f64 oracle;
+    # (3) a kernel bug — Pallas disagrees with BOTH. Must be zero.
+    mm_sem = mm_tie = mm_bug = 0
+    if box_match < len(flat):
+        from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
+
+        for j in range(len(flat)):
+            if box_seqs[j] == box_cpu[j]:
+                continue
+            y1s, y2s, envs = box_wls[j]
+            if box_seqs[j] == native.pair_beam_row_col_cpu_emul(
+                    y1s, y2s, envs, beam_width=5):
+                mm_sem += 1
+            elif box_seqs[j] == beam_search_2d_planned(
+                    y1s, y2s, envs, beam_width=5):
+                mm_tie += 1
+            else:
+                mm_bug += 1
+        log(f"pair_fast: {len(flat)-box_match} box mismatches vs trie = "
+            f"{mm_sem} windowed-memo semantics + {mm_tie} f32 ties + "
+            f"{mm_bug} UNEXPLAINED")
     ident_full = [
         _aligned_identity(s, f) for s, f in zip(stitched, seqs_full_cpu)]
     ident_cpu = [
@@ -912,6 +1017,8 @@ def bench_pair_anchored(workloads, extras, seqs_full_cpu, cpu_full_s,
         vs_baseline_same_mode=round(cpu_time / tpu_time, 3),
         vs_full_cpu=round(cpu_full_s / tpu_time, 3),
         box_trie_match=f"{box_match}/{len(flat)}",
+        box_mismatch_classes=dict(windowed_semantics=mm_sem,
+                                  f32_tie=mm_tie, unexplained=mm_bug),
         min_identity_vs_cpu_anchored=round(min(ident_cpu), 5),
         min_identity_vs_full=round(min(ident_full), 5),
         baselines=dict(
@@ -983,6 +1090,57 @@ def bench_pair_exact(workloads, seqs_trie_cpu, cpu_full_s):
     log(f"pair_exact: {n_pairs} pairs tpu={tpu_time:.2f}s "
         f"({cpu_full_s/tpu_time:.2f}x) trie_match={n_match}/{n_pairs} "
         f"min_ident={min(idents):.5f}")
+
+
+def bench_pair_f64(workloads):
+    """--f64 mitigation note (VERDICT r4 item 4b): pair 1 — the one
+    bundled pair whose f32 output misses the f64 windowed-memo oracle by
+    one indel (docs/EXACTNESS.md r5) — decoded in float64 via the XLA
+    engine on the HOST CPU (x64 isolated in a subprocess; f64-on-TPU is
+    emulated and reproducibly faults this dev chip's axon worker, same
+    fault class as the batched exact scan). Records whether f64 recovers
+    the oracle and the measured cost."""
+    import pickle
+    import subprocess
+
+    with tempfile.TemporaryDirectory() as td:
+        y1, y2, env = workloads[1]
+        np.save(f"{td}/y1.npy", y1)
+        np.save(f"{td}/y2.npy", y2)
+        np.save(f"{td}/env.npy", env)
+        code = f"""
+import time, numpy as np, sys, json
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from poreover_tpu.ops.beam2d_planned import beam_search_2d_planned
+y1 = np.load({td!r} + "/y1.npy"); y2 = np.load({td!r} + "/y2.npy")
+env = np.load({td!r} + "/env.npy")
+t0 = time.perf_counter()
+s = beam_search_2d_planned(y1, y2, env, beam_width=5)
+warm = time.perf_counter() - t0
+t0 = time.perf_counter()
+s = beam_search_2d_planned(y1, y2, env, beam_width=5)
+print(json.dumps(dict(seq=s, warm_s=round(warm, 2),
+                      tpu_s=round(time.perf_counter() - t0, 3),
+                      backend=jax.default_backend())))
+"""
+        r = subprocess.run([sys.executable, "-c", code], timeout=3600,
+                           capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+    from poreover_tpu import native
+
+    oracle = native.pair_beam_row_col_cpu_emul(*workloads[1], beam_width=5)
+    RESULTS["pair_f64"] = dict(
+        engine="xla_planned_f64", pair="pair1 (the 1/5 oracle_exact miss)",
+        backend=info["backend"], tpu_s=round(info["tpu_s"], 3),
+        oracle_exact="1/1" if info["seq"] == oracle else "0/1",
+        note="--f64 CLI flag; f64 DP removes the f32 tie-flip indel",
+    )
+    log(f"pair_f64: backend={info['backend']} {info['tpu_s']:.1f}s "
+        f"oracle_match={info['seq'] == oracle}")
 
 
 # --------------------------------------------------------------------------

@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
     p_call.add_argument("--window", type=int, default=1000)
     p_call.add_argument("--format", choices=["csv", "npy"], default="npy")
     p_call.add_argument("--no_stack", default=False, action="store_true")
+    # TPU-first extension (not in the reference): fuse the network forward
+    # with viterbi decode in one device program — signal in, FASTA out,
+    # no [T,5] probability matrix ever crossing the host/device boundary
+    p_call.add_argument(
+        "--decode", choices=["viterbi"], default=None,
+        help="fuse basecall+decode on device; write FASTA instead of probs")
+    p_call.add_argument("--out", default=None,
+                        help="output FASTA prefix for --decode")
 
     # ---- decode ----
     p_dec = subparsers.add_parser(
@@ -134,6 +142,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="reference-exact consensus: unbounded-memo trie semantics via "
         "the graveyard engine (slower; see docs/EXACTNESS.md)")
     p_pair.add_argument(
+        "--f64", action="store_true",
+        help="run the pipeline in float64 on the host CPU (XLA engine) — "
+        "removes the rare f32 tie-flip indel (docs/EXACTNESS.md f32 "
+        "section); f64-on-TPU is emulated and faults this dev chip's "
+        "runtime, so the parity mode stays on host")
+    p_pair.add_argument(
         "--beam_search_method",
         choices=["row", "row_col", "grid"],
         default="row_col",
@@ -163,6 +177,11 @@ def _train(args):
 
 
 def _call(args):
+    if getattr(args, "decode", None):
+        from .decoding.fused import call_and_decode
+
+        call_and_decode(args)
+        return
     from .network.call import call
 
     call(args)
@@ -175,6 +194,11 @@ def _decode(args):
 
 
 def _pair_decode(args):
+    if getattr(args, "f64", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     from .decoding.pair import pair_decode
 
     pair_decode(args)

@@ -400,10 +400,12 @@ def _refresh_psweep(fields_or_cand, storage, st_off, psweep, poff):
 
 
 @partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1",
-                                   "return_state", "G", "grace"))
+                                   "return_state", "G", "grace",
+                                   "return_prov"))
 def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
                   model_id: int, W: int, A: int, Wst0: int, Wst1: int,
-                  return_state: bool = False, G: int = 0, grace: int = 1):
+                  return_state: bool = False, G: int = 0, grace: int = 1,
+                  return_prov: bool = False, cand_in=None):
     """G > 0 enables the eviction *graveyard* (reference-exact mode): a
     node that falls out of the candidate table keeps its live memo for up
     to ``grace - 1`` further prunes, and a re-discovered child resumes it
@@ -646,9 +648,17 @@ def _planned_scan(y1, y2, plan_type, a_lo, a_hi, b_lo, b_hi,
         return new_cand, (beam_src, stype == MAIN)
 
     final, (beam_srcs, is_main) = jax.lax.scan(
-        step, cand0, (plan_type, a_lo, a_hi, b_lo, b_hi)
+        step, cand0 if cand_in is None else cand_in,
+        (plan_type, a_lo, a_hi, b_lo, b_hi)
     )
 
+    if return_prov:
+        # segmented exact mode: the caller chains segments (carrying the
+        # candidate state) and runs one traceback over the concatenated
+        # provenance — shorter scans keep the per-launch program below
+        # whatever resource limit faults the batched full-length exact
+        # scan on the axon TPU runtime (VERDICT r4 item 5)
+        return final, beam_srcs, is_main
     if return_state:
         return final
 
@@ -854,3 +864,149 @@ def beam_search_2d_planned(y1, y2, envelope, beam_width=5, alphabet="ACGT",
     )
     out = [int(first_char)] + [int(c) for c in np.asarray(chars)]
     return "".join(alphabet[c] for c in out if c >= 0)
+
+# --------------------------------------------------------------------------
+# segmented exact-mode batch: bounded-length scan launches, carried state
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1",
+                                   "G", "grace"))
+def _planned_scan_batch_seg0(y1, y2, pt, alo, ahi, blo, bhi,
+                             model_id, W, A, Wst0, Wst1, G, grace):
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g: _planned_scan(
+            a, b, c, d, e, f, g, model_id=model_id, W=W, A=A,
+            Wst0=Wst0, Wst1=Wst1, G=G, grace=grace, return_prov=True,
+        )
+    )(y1, y2, pt, alo, ahi, blo, bhi)
+
+
+@partial(jax.jit, static_argnames=("model_id", "W", "A", "Wst0", "Wst1",
+                                   "G", "grace"))
+def _planned_scan_batch_segN(y1, y2, pt, alo, ahi, blo, bhi, cand,
+                             model_id, W, A, Wst0, Wst1, G, grace):
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g, ci: _planned_scan(
+            a, b, c, d, e, f, g, model_id=model_id, W=W, A=A,
+            Wst0=Wst0, Wst1=Wst1, G=G, grace=grace, return_prov=True,
+            cand_in=ci,
+        )
+    )(y1, y2, pt, alo, ahi, blo, bhi, cand)
+
+
+@partial(jax.jit, static_argnames=("W", "A"))
+def _traceback_prov_batch(final, beam_srcs, is_main, W: int, A: int):
+    """Final top-1 + reverse provenance walk (the tail of _planned_scan),
+    vmapped over the batch — run once over concatenated segment prov."""
+
+    def one(fin, srcs, mains):
+        keep = _dedup_mask(fin["k1"], fin["k2"], fin["valid"])
+        scores = jnp.where(keep, fin["score"], _NEG_INF)
+        top_idx = jnp.argmax(scores)
+
+        def back(j, inp):
+            src, adv = inp
+            is_child = j >= W
+            c = jnp.where(is_child & adv, (j - W) % A, -1)
+            b = jnp.where(is_child, (j - W) // A, j)
+            j_prev = jnp.where(adv, src[b].astype(j.dtype), j)
+            return j_prev, c
+
+        j0, chars = jax.lax.scan(back, top_idx, (srcs, mains),
+                                 reverse=True)
+        first_char = jnp.where(j0 >= W, (j0 - W) % A, -1)
+        return first_char, chars
+
+    return jax.vmap(one)(final, beam_srcs, is_main)
+
+
+def beam_search_2d_planned_batch_seg(pairs, beam_width=5, alphabet="ACGT",
+                                     model="ctc", exact: bool = True,
+                                     seg: int = 4096) -> list[str]:
+    """Batched plan-driven search in bounded-length scan segments.
+
+    Identical math to beam_search_2d_planned_batch — the candidate state
+    (including the exact-mode graveyard) carries across segment launches,
+    and segment boundaries fall on whole plan steps, so outputs are
+    bit-identical. Purpose: the full-length batched exact scan (N ~ 68k
+    steps x B pairs x graveyard state) reproducibly faults the axon TPU
+    runtime worker (docs/EXACTNESS.md); per-launch scans of ``seg`` steps
+    stay under whatever per-program resource limit is involved while
+    keeping the per-launch dispatch overhead amortized.
+    """
+    A = len(alphabet)
+    model_id = _MODEL_IDS[model]
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    plans = []
+    for y1, y2, envelope in pairs:
+        y1 = np.asarray(y1)
+        y2 = np.asarray(y2)
+        U, V = len(y1), len(y2)
+        if envelope is None:
+            envelope = np.tile(np.array([0, V], dtype=np.int64), (U, 1))
+        env = np.asarray(envelope, dtype=np.int64)[:U]
+        plans.append(build_plan(env, U, V))
+
+    N_max = max(len(p["type"]) for p in plans)
+    N_pad = ((N_max + seg - 1) // seg) * seg
+    T1 = max(len(p[0]) for p in pairs)
+    T2 = max(len(p[1]) for p in pairs)
+    w0 = max(
+        int(np.where(p["type"] != C1RUN, p["a_hi"] - p["a_lo"], 0).max())
+        for p in plans
+    )
+    w1 = max(
+        int(np.where(p["type"] != C0RUN, p["b_hi"] - p["b_lo"], 0).max())
+        for p in plans
+    )
+    Wst0 = max(w0, 1) + 2
+    Wst1 = max(w1, 1) + 2
+
+    fills = dict(type=C0RUN, a_lo=0, a_hi=0, b_lo=0, b_hi=0)
+
+    def padp(p):
+        n = N_pad - len(p["type"])
+        return {
+            k: np.concatenate([v, np.full(n, fills[k], v.dtype)])
+            for k, v in p.items()
+        }
+
+    def pady(y, T):
+        y = np.asarray(y, np.float64)
+        return np.pad(y, ((0, T - len(y)), (0, 0)), constant_values=LOG_0)
+
+    plans = [padp(p) for p in plans]
+    y1b = jnp.asarray(np.stack([pady(p[0], T1) for p in pairs]), dtype)
+    y2b = jnp.asarray(np.stack([pady(p[1], T2) for p in pairs]), dtype)
+    stacked = {k: jnp.asarray(np.stack([p[k] for p in plans]))
+               for k in ("type", "a_lo", "a_hi", "b_lo", "b_hi")}
+
+    G, grace = (EXACT_G, EXACT_GRACE) if exact else (0, 1)
+    cand = None
+    provs, mains = [], []
+    for s0 in range(0, N_pad, seg):
+        sl = slice(s0, s0 + seg)
+        segargs = (y1b, y2b, stacked["type"][:, sl],
+                   stacked["a_lo"][:, sl], stacked["a_hi"][:, sl],
+                   stacked["b_lo"][:, sl], stacked["b_hi"][:, sl])
+        if cand is None:
+            cand, bs, im = _planned_scan_batch_seg0(
+                *segargs, model_id, beam_width, A, Wst0, Wst1, G, grace)
+        else:
+            cand, bs, im = _planned_scan_batch_segN(
+                *segargs, cand, model_id, beam_width, A, Wst0, Wst1, G,
+                grace)
+        provs.append(bs)
+        mains.append(im)
+
+    first_char, chars = _traceback_prov_batch(
+        cand, jnp.concatenate(provs, axis=1),
+        jnp.concatenate(mains, axis=1), beam_width, A)
+    first_char = np.asarray(first_char)
+    chars = np.asarray(chars)
+    out = []
+    for b in range(len(pairs)):
+        cs = [int(first_char[b])] + [int(c) for c in chars[b]]
+        out.append("".join(alphabet[c] for c in cs if c >= 0))
+    return out

@@ -595,8 +595,19 @@ def _batch_fn(exact: bool = False):
     if exact:
         # reference-exact (graveyard) mode batches through the XLA planned
         # engine — the Pallas kernel implements windowed-memo semantics only
+        import os
         from functools import partial
 
+        seg = os.environ.get("POREOVER_EXACT_SEG")
+        if seg:
+            # segmented launches survive the TPU worker's program-size
+            # fault (docs/EXACTNESS.md r5) — opt-in: batched exact is
+            # crash-free but measured slower than per-pair (B=1)
+            from ..ops.beam2d_planned import (
+                beam_search_2d_planned_batch_seg,
+            )
+            return partial(beam_search_2d_planned_batch_seg, exact=True,
+                           seg=int(seg))
         from ..ops.beam2d_planned import beam_search_2d_planned_batch
         return partial(beam_search_2d_planned_batch, exact=True)
     if jax.default_backend() == "tpu" and not jax.config.jax_enable_x64:
@@ -756,10 +767,15 @@ def _batchable(args, kind: str) -> bool:
 
 
 def _exact_batch_unsafe() -> bool:
-    """Batched (B>1) exact-mode scans crash the axon TPU worker; the
-    CPU backend runs them fine. See docs/EXACTNESS.md and VERDICT r4."""
+    """Batched (B>1) full-length exact-mode scans crash the axon TPU
+    worker; the CPU backend runs them fine, and the segmented engine
+    (POREOVER_EXACT_SEG, docs/EXACTNESS.md r5) runs crash-free on TPU
+    too — but measured slower than per-pair, so it stays opt-in."""
     import jax
+    import os
 
+    if os.environ.get("POREOVER_EXACT_SEG"):
+        return False
     return jax.default_backend() == "tpu"
 
 

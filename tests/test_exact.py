@@ -72,3 +72,20 @@ def test_grace1_unchanged():
         base = beam_search_2d_planned(y1, y2, env, beam_width=5)
         got = _engine(y1, y2, env, G=16, grace=1)
         assert got == base
+
+
+def test_segmented_exact_batch_bit_identical():
+    """The segmented exact engine (bounded-length scan launches, carried
+    candidate+graveyard state; the r5 workaround for the TPU worker's
+    program-size fault) must equal the one-launch batch bit-for-bit,
+    at a segment length that forces several segments per pair."""
+    from poreover_tpu.ops.beam2d_planned import (
+        beam_search_2d_planned_batch,
+        beam_search_2d_planned_batch_seg,
+    )
+
+    pairs = list(cases())
+    want = beam_search_2d_planned_batch(pairs, beam_width=5, exact=True)
+    got = beam_search_2d_planned_batch_seg(pairs, beam_width=5,
+                                           exact=True, seg=64)
+    assert got == want

@@ -448,17 +448,36 @@ def bench_beam():
                 fetch_beam1d, launch_beam1d, prepare_beam1d,
             )
 
+            # length-bucketed waves, the production driver's batching
+            # shape (_pad_bucket groups): one max-padded B=128 launch
+            # wastes ~35% of its steps on padding with this length mix
+            # (35-94k) and the kernel's per-step cost is B-linear beyond
+            # B~64 — two bucketed B=64 launches measured 1.54x faster
+            # (scratch/beam_bucket.py)
+            order = sorted(range(len(ys_dist)), key=lambda i: len(ys_dist[i]))
+            half = len(order) // 2
+            buckets = [order[:half], order[half:]]
+            per_b = SAT_B // len(buckets)
+            sels = [(idx * ((per_b + len(idx) - 1) // len(idx)))[:per_b]
+                    for idx in buckets]
             t0 = time.perf_counter()
-            prep = prepare_beam1d(ys_sat, beam_width=25)
-            out_sat = fetch_beam1d(prep, launch_beam1d(prep))
-            log(f"beam[sat pallas B={SAT_B}]: warm (incl compile) "
-                f"{time.perf_counter() - t0:.1f}s")
-            out_sat, sat, _ = _timed(
-                lambda: fetch_beam1d(prep, launch_beam1d(prep)), n=3)
-            assert all(out_sat[i] == want_dist[i % len(ys_dist)]
-                       for i in range(SAT_B)), \
+            preps = [prepare_beam1d([ys_dist[i] for i in sel],
+                                    beam_width=25) for sel in sels]
+
+            def run_sat():
+                hs = [(p, launch_beam1d(p)) for p in preps]
+                return [s for p, h in hs for s in fetch_beam1d(p, h)]
+
+            out_sat = run_sat()  # warm
+            log(f"beam[sat pallas {len(buckets)}x{per_b} bucketed]: warm "
+                f"(incl compile) {time.perf_counter() - t0:.1f}s")
+            out_sat, sat, _ = _timed(run_sat, n=3)
+            flat_sel = [i for sel in sels for i in sel]
+            assert all(out_sat[k] == want_dist[flat_sel[k]]
+                       for k in range(SAT_B)), \
                 "pallas beam1d outputs diverge from XLA engine"
-            sat_engine = "pallas_beam1d"
+            sat_engine = "pallas_beam1d_bucketed"
+            ys_sat = [ys_dist[i] for i in flat_sel]
         except Exception:
             log("beam sat: pallas_beam1d FAILED, falling back to XLA")
             traceback.print_exc(file=sys.stderr)

@@ -273,7 +273,18 @@ def beam_search_2d_grid_replica(
     beams sharing the global per-node memo trie; node_greater comparator
     (last probability, Beam.h:10-18). Quadratic in the lattice / envelope
     size, like the reference — the reference itself hides this method
-    behind a suppressed flag as a benchmark control (__main__.py:89)."""
+    behind a suppressed flag as a benchmark control (__main__.py:89).
+
+    Device-kernel note (r5 analysis): cell (u, v) depends only on
+    (u-1, v-1), so the lattice decomposes into independent diagonal
+    chains that would batch perfectly onto the 1D lane-table kernel
+    (lanes = candidates, rows = diagonals, two emission streams). The
+    blocker is semantic, not mechanical: the reference's grid beams
+    share ONE unbounded memo trie across all cells, so a fixed-shape
+    candidate table would carry the windowed-memo divergence documented
+    in docs/EXACTNESS.md and could not be pinned against this replica.
+    Given the reference suppresses the method, this host replica (exact
+    semantics, cell-guarded) remains the supported form."""
     tree = Tree2D(y1, y2, alphabet, model)
     U, V = len(y1), len(y2)
 

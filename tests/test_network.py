@@ -131,3 +131,42 @@ def test_call_on_reference_fast5(tmp_path):
 
     m = model_from_trace(str(tmp_path / "read.npy"), "poreover")
     assert m.kind == "poreover"
+
+
+def test_fused_call_decode_matches_two_stage(tmp_path):
+    """Fused basecall+decode (decoding/fused.py) == the two-stage
+    call -> probs -> per-step-argmax pipeline, on a tiny model with
+    random weights and synthetic signal (r5, VERDICT item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from poreover_tpu.decoding.fused import (
+        fused_basecall_viterbi, make_fused_viterbi,
+    )
+    from poreover_tpu.models.transducer import poreover
+    from poreover_tpu.network.model import build_model, init_params
+
+    model = build_model("conv1_bigru3", num_neurons=8, filters=4,
+                        kernel_size=9)
+    params = init_params(model, jax.random.PRNGKey(3), window=100)
+    rng = np.random.default_rng(5)
+    signal = rng.normal(size=23_456).astype(np.float32)
+
+    run = make_fused_viterbi(model, params, window=100)
+    fused = fused_basecall_viterbi(run, signal, window=100)
+
+    # two-stage: forward -> softmax probs -> transducer viterbi (argmax)
+    from poreover_tpu.io.fast5 import batch_input
+
+    batches, last = batch_input(signal, window_size=100)
+    probs = []
+    for b in batches:
+        logits = model.apply({"params": params},
+                             jnp.asarray(b, jnp.float32).reshape(-1, 100, 1))
+        probs.append(np.asarray(jax.nn.softmax(logits, axis=-1)
+                                ).reshape(-1, 5))
+    probs = np.concatenate(probs)
+    if last:
+        probs = probs[: (len(batches) - 1) * 128 * 100 + last]
+    unfused = poreover(np.log(probs)).viterbi_decode()
+    assert fused == unfused

@@ -273,6 +273,72 @@ def _bench_fused_viterbi():
     )
 
 
+def _bench_fused_beam():
+    """Fused basecall+beam-search (r5): network forward + log-softmax +
+    plane packing in jitted device programs feeding the Pallas beam1d
+    kernel in HBM — only the raw [T] signal ships up, int8 chars come
+    back. Unlike the fused-viterbi row, byte-parity with the two-stage
+    pipeline is unreachable by construction (the unfused path takes
+    np.log of the saved probs on HOST libm and np.cumsum sequentially;
+    the fused program computes log/cumsum with TPU arithmetic, and CTC
+    beam near-ties flip on the last ulp), so the gate is sequence
+    identity, reported alongside."""
+    import jax
+    import jax.numpy as jnp
+
+    from poreover_tpu.decoding.fused import make_fused_beam
+    from poreover_tpu.io.fast5 import parse_fast5
+    from poreover_tpu.io.tf_checkpoint import load_keras_conv1_bigru3
+    from poreover_tpu.io.trace import model_from_trace
+    from poreover_tpu.network.model import build_model
+    from poreover_tpu.ops.pallas_beam1d import beam1d_pallas_batch
+
+    _, signal = parse_fast5(f"{DATA}/read.fast5", scaling="standard")
+    model = build_model("conv1_bigru3")
+    params = jax.tree.map(
+        jnp.asarray,
+        load_keras_conv1_bigru3("/root/reference/data/model/checkpoint-124"))
+    decode_reads = make_fused_beam(model, params, window=1000,
+                                   beam_width=25)
+
+    Bf = 8
+    fused_seq = decode_reads([signal])[0]  # warm (compile)
+    _, fused_s, _ = _timed(lambda: decode_reads([signal] * Bf), n=2)
+
+    # two-stage on the same read: call -> .npy -> load -> Pallas beam
+    with tempfile.TemporaryDirectory() as td:
+        from types import SimpleNamespace
+
+        from poreover_tpu.network.call import call
+
+        def unfused_once():
+            call(SimpleNamespace(
+                **{"in": f"{DATA}/read.fast5"}, out=None, dir=td,
+                weights=None, model=None, scaling="standard",
+                use_id=False, window=1000, format="npy", no_stack=False))
+            m = model_from_trace(f"{td}/read.npy", "poreover")
+            return beam1d_pallas_batch([m.log_prob.astype(np.float32)],
+                                       beam_width=25)[0]
+
+        seq_unfused = unfused_once()  # warm
+        _, unfused_s, _ = _timed(lambda: [unfused_once()
+                                          for _ in range(Bf)], n=1)
+    ident = _aligned_identity(fused_seq, seq_unfused)
+    assert ident > 0.999, (
+        f"fused call+beam diverges from two-stage: identity {ident}")
+    log(f"beam[fused call+decode]: {Bf / fused_s:.2f} reads/s e2e vs "
+        f"{Bf / unfused_s:.2f} unfused ({unfused_s / fused_s:.1f}x), "
+        f"identity {ident:.5f}")
+    return dict(
+        fused_reads_per_s_e2e=round(Bf / fused_s, 3),
+        unfused_reads_per_s_e2e=round(Bf / unfused_s, 3),
+        fused_vs_unfused=round(unfused_s / fused_s, 3),
+        fused_identity=round(ident, 5),
+        fused_match=("identical" if fused_seq == seq_unfused
+                     else "ulp-class (log/cumsum on TPU vs host libm)"),
+    )
+
+
 def bench_viterbi():
     """Methodology (VERDICT r2 item 4): the round-2 row timed per-call
     host->device transfer of a 40 MB batch over the tunneled device link —
@@ -398,6 +464,8 @@ def _sat_reads():
 
 
 def bench_beam():
+    import jax
+
     from poreover_tpu.io.trace import model_from_trace
     from poreover_tpu.ops.beam import beam_search_batch
 
@@ -494,7 +562,16 @@ def bench_beam():
     cpu_s_per_step = cpu / total_T
     vs_sat = cpu_s_per_step * total_T_sat / sat
 
+    fused_stats = {}
+    if jax.default_backend() == "tpu":
+        try:
+            fused_stats = _bench_fused_beam()
+        except Exception:
+            log("fused call+beam bench FAILED (non-fatal)")
+            traceback.print_exc(file=sys.stderr)
+
     RESULTS["beam"] = dict(
+        **fused_stats,
         reads_per_s=round(len(ys) / tpu, 3),
         bases_per_s=round(total_T / tpu, 1),
         tpu_s=round(tpu, 3), tpu_s_med=round(tpu_med, 3),

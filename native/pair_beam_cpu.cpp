@@ -131,7 +131,9 @@ extern "C" {
 int pair_beam_row_col_cpu_impl(const double* y1, int U, const double* y2,
                                int V, const int64_t* envelope, int beam_width,
                                char* out, bool emulate, int grace = 1,
-                               int64_t* stats = nullptr) {
+                               int64_t* stats = nullptr,
+                               double* trace = nullptr,
+                               int64_t* trace_meta = nullptr) {
   const int A = 4;
   PairSearch search(y1, U, y2, V, A);
   search.emulate = emulate;
@@ -254,11 +256,40 @@ int pair_beam_row_col_cpu_impl(const double* y1, int U, const double* y2,
     std::sort(beam.begin(), beam.end(), [](PairNode* a, PairNode* b) {
       return a->max_prob[0] + a->max_prob[1] > b->max_prob[0] + b->max_prob[1];
     });
+    if (stats && (int)beam.size() > beam_width) {
+      // exactness diagnostic: a bit-equal f64 score tie ACROSS the prune
+      // cut means beam membership (and thus the output) is tie-break
+      // dependent — the C++ std::sort order here is itself arbitrary
+      // (input order is the pointer-sorted dedup pass above)
+      double keep_s = beam[beam_width - 1]->max_prob[0] +
+                      beam[beam_width - 1]->max_prob[1];
+      double drop_s =
+          beam[beam_width]->max_prob[0] + beam[beam_width]->max_prob[1];
+      if (keep_s == drop_s && keep_s != kNegInf) ++stats[33];
+    }
     if ((int)beam.size() > beam_width) beam.resize(beam_width);
+    if (trace && trace_meta) {
+      // per-prune diagnostic trace: post-prune beam scores + step (u, v)
+      int64_t j = trace_meta[0];
+      for (int w = 0; w < beam_width; ++w)
+        trace[j * beam_width + w] =
+            w < (int)beam.size()
+                ? beam[w]->max_prob[0] + beam[w]->max_prob[1]
+                : kNegInf;
+      trace_meta[1 + 2 * j] = u;
+      trace_meta[2 + 2 * j] = v;
+      ++trace_meta[0];
+    }
     ++u;
     ++v;
   }
 
+  if (stats && beam.size() > 1) {
+    // [34]: the reported top-1 itself is tied with the runner-up
+    double s0 = beam[0]->max_prob[0] + beam[0]->max_prob[1];
+    double s1 = beam[1]->max_prob[0] + beam[1]->max_prob[1];
+    if (s0 == s1) ++stats[34];
+  }
   std::string seq = search.label(beam.front());
   std::memcpy(out, seq.data(), seq.size());
   out[seq.size()] = '\0';
@@ -278,6 +309,19 @@ int pair_beam_row_col_cpu_emul(const double* y1, int U, const double* y2,
                                char* out) {
   return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
                                     true, 1);
+}
+
+// diagnostic: emulation mode with a per-prune score/step trace.
+// trace: caller-allocated [U+V, beam_width] doubles; trace_meta:
+// caller-allocated int64[1 + 2*(U+V)], zero-initialized — meta[0] returns
+// the prune-step count, meta[1+2j], meta[2+2j] the step's (u, v).
+int pair_beam_row_col_cpu_emul_trace(const double* y1, int U,
+                                     const double* y2, int V,
+                                     const int64_t* envelope, int beam_width,
+                                     int grace, char* out, double* trace,
+                                     int64_t* trace_meta) {
+  return pair_beam_row_col_cpu_impl(y1, U, y2, V, envelope, beam_width, out,
+                                    true, grace, nullptr, trace, trace_meta);
 }
 
 // same, with an eviction grace period (graveyard depth = grace - 1)

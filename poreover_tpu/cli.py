@@ -71,8 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     # with viterbi decode in one device program — signal in, FASTA out,
     # no [T,5] probability matrix ever crossing the host/device boundary
     p_call.add_argument(
-        "--decode", choices=["viterbi"], default=None,
+        "--decode", choices=["viterbi", "beam"], default=None,
         help="fuse basecall+decode on device; write FASTA instead of probs")
+    p_call.add_argument("--beam_width", type=int, default=25,
+                        help="beam width for --decode beam")
     p_call.add_argument("--out", default=None,
                         help="output FASTA prefix for --decode")
 

@@ -88,6 +88,15 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
         ndpointer(_np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.pair_beam_row_col_cpu_emul_trace.restype = ctypes.c_int
+    lib.pair_beam_row_col_cpu_emul_trace.argtypes = [
+        ndpointer(_np.float64, flags="C_CONTIGUOUS"), ctypes.c_int,
+        ndpointer(_np.float64, flags="C_CONTIGUOUS"), ctypes.c_int,
+        ndpointer(_np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ndpointer(_np.float64, flags="C_CONTIGUOUS"),
+        ndpointer(_np.int64, flags="C_CONTIGUOUS"),
+    ]
     lib.beam_search_1d_cpu.restype = ctypes.c_int
     lib.beam_search_1d_cpu.argtypes = [
         ndpointer(_np.float64, flags="C_CONTIGUOUS"), ctypes.c_int,
@@ -180,9 +189,12 @@ def pair_beam_row_col_cpu_emul_grace(
     grace-1). ``grace=1`` reproduces the TPU engines' semantics exactly;
     on the bundled real pair ``grace=18`` makes the output byte-identical
     to the unbounded-memo trie (measured max graveyard 97 nodes — see
-    docs/EXACTNESS.md). With return_stats, also returns the int64[33]
+    docs/EXACTNESS.md). With return_stats, also returns the int64[35]
     stats vector: [0] max graveyard size, [1..31] rejoin-absence
-    histogram, [32] rejoins after full eviction."""
+    histogram, [32] rejoins after full eviction, [33] prunes whose
+    keep/drop boundary scores were bit-equal f64 ties (beam membership is
+    then tie-break-order dependent), [34] 1 if the final top-1 score tied
+    the runner-up."""
     import numpy as np
 
     lib = load()
@@ -193,7 +205,7 @@ def pair_beam_row_col_cpu_emul_grace(
     env = np.ascontiguousarray(envelope, dtype=np.int64)
     out = ctypes.create_string_buffer(len(y1) + len(y2) + 1)
     if return_stats:
-        stats = np.zeros(33, np.int64)
+        stats = np.zeros(35, np.int64)
         n = lib.pair_beam_row_col_cpu_emul_stats(
             y1, len(y1), y2, len(y2), env, beam_width, grace, out, stats
         )
@@ -202,6 +214,32 @@ def pair_beam_row_col_cpu_emul_grace(
         y1, len(y1), y2, len(y2), env, beam_width, grace, out
     )
     return out.value[:n].decode()
+
+
+def pair_beam_row_col_cpu_emul_trace(y1, y2, envelope, beam_width: int = 5,
+                                     grace: int = 1):
+    """Windowed-memo oracle with a per-prune diagnostic trace. Returns
+    (seq, scores [n_steps, W] f64 post-prune beam scores, uv [n_steps, 2]
+    the (u, v) at each prune step) — used to bisect engine-vs-oracle
+    divergences (docs/EXACTNESS.md)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    y1 = np.ascontiguousarray(y1, dtype=np.float64)
+    y2 = np.ascontiguousarray(y2, dtype=np.float64)
+    env = np.ascontiguousarray(envelope, dtype=np.int64)
+    cap = len(y1) + len(y2)
+    out = ctypes.create_string_buffer(cap + 1)
+    trace = np.full((cap, beam_width), -np.inf)
+    meta = np.zeros(1 + 2 * cap, np.int64)
+    n = lib.pair_beam_row_col_cpu_emul_trace(
+        y1, len(y1), y2, len(y2), env, beam_width, grace, out, trace, meta
+    )
+    ns = int(meta[0])
+    return (out.value[:n].decode(), trace[:ns],
+            meta[1:1 + 2 * ns].reshape(ns, 2).copy())
 
 
 def pair_beam_row_col_cpu_emul(y1, y2, envelope, beam_width: int = 5) -> str:

@@ -170,3 +170,40 @@ def test_fused_call_decode_matches_two_stage(tmp_path):
         probs = probs[: (len(batches) - 1) * 128 * 100 + last]
     unfused = poreover(np.log(probs)).viterbi_decode()
     assert fused == unfused
+
+
+def test_fused_call_beam_matches_two_stage():
+    """Fused basecall+beam (make_fused_beam) == the two-stage
+    call -> softmax probs -> log -> beam_search pipeline, for a batch of
+    reads of different lengths (exercises the lane packing + length
+    masking seam; on CPU the decode leg is the XLA beam engine, which
+    the Pallas kernel is separately pinned to on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from poreover_tpu.decoding.fused import make_fused_beam
+    from poreover_tpu.network.model import build_model, init_params
+    from poreover_tpu.ops.beam import beam_search
+
+    model = build_model("conv1_bigru3", num_neurons=8, filters=4,
+                        kernel_size=9)
+    params = init_params(model, jax.random.PRNGKey(3), window=100)
+    rng = np.random.default_rng(11)
+    signals = [rng.normal(size=t).astype(np.float32)
+               for t in (12_800 * 2, 7_345, 20_111)]
+
+    decode_reads = make_fused_beam(model, params, window=100, beam_width=6)
+    fused = decode_reads(signals)
+
+    from poreover_tpu.io.fast5 import batch_input
+
+    for signal, got in zip(signals, fused):
+        batches, last = batch_input(signal, window_size=100)
+        logits = model.apply(
+            {"params": params},
+            jnp.asarray(batches, jnp.float32).reshape(-1, 100, 1))
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1)).reshape(-1, 5)
+        if last:
+            probs = probs[: (len(batches) - 1) * 128 * 100 + last]
+        want = beam_search(np.log(probs), beam_width=6, model="ctc")
+        assert got == want

@@ -750,33 +750,37 @@ def _pair_saturation(workloads, seqs_tpu, cpu_time, cells):
         log("pair sat: box engine FAILED (non-fatal)")
         traceback.print_exc(file=sys.stderr)
 
-    # (b) pipelined waves of 5 through the general kernel
-    try:
-        wave_sz = 5
-        prepsN = [prepare_pairs(wl_sat[k:k + wave_sz], beam_width=5)
-                  for k in range(0, n_sat, wave_sz)]
+    # (b) pipelined waves through the general kernel, sweeping the wave
+    # size: the kernel's per-step cost is nonlinear in B (fixed overhead
+    # amortizes up to ~B=8, then the per-pair eviction regions dominate),
+    # so the optimum is measured per run rather than assumed
+    for wave_sz in (5, 8):
+        try:
+            prepsN = [prepare_pairs(wl_sat[k:k + wave_sz], beam_width=5)
+                      for k in range(0, n_sat, wave_sz)]
 
-        def run_waves(prepsN=prepsN):
-            hs = [(p, launch_prepared(p)) for p in prepsN]
-            return [s for p, h in hs for s in fetch_prepared(p, h)]
+            def run_waves(prepsN=prepsN):
+                hs = [(p, launch_prepared(p)) for p in prepsN]
+                return [s for p, h in hs for s in fetch_prepared(p, h)]
 
-        outw = run_waves()  # warm
-        outw, satw, _ = _timed(run_waves, n=3)
-        if out_ref is not None:
-            assert outw == out_ref, \
-                "general-kernel wave outputs diverge from box engine"
-        else:
-            assert all(outw[i] == seqs_tpu[i] for i in range(n_real)), \
-                "wave outputs diverge from headline engine"
-            out_ref = outw
-        rate = n_sat / satw
-        log(f"pair[sat {len(prepsN)}x{wave_sz} pipelined]: {satw:.2f}s = "
-            f"{2*rate:.2f} reads/s (box best {2*best_rate:.2f})")
-        if rate > best_rate:
-            best_rate, sat_shape = rate, f"{len(prepsN)}x{wave_sz}"
-    except Exception:
-        log("pair sat: general-kernel waves FAILED (non-fatal)")
-        traceback.print_exc(file=sys.stderr)
+            outw = run_waves()  # warm
+            outw, satw, _ = _timed(run_waves, n=3)
+            if out_ref is not None:
+                assert outw == out_ref, \
+                    "general-kernel wave outputs diverge across engines"
+            else:
+                assert all(outw[i] == seqs_tpu[i] for i in range(n_real)), \
+                    "wave outputs diverge from headline engine"
+                out_ref = outw
+            rate = n_sat / satw
+            log(f"pair[sat {len(prepsN)}x{wave_sz} pipelined]: {satw:.2f}s "
+                f"= {2*rate:.2f} reads/s (best so far {2*best_rate:.2f})")
+            if rate > best_rate:
+                best_rate, sat_shape = rate, f"{len(prepsN)}x{wave_sz}"
+        except Exception:
+            log(f"pair sat: general-kernel waves of {wave_sz} FAILED "
+                "(non-fatal)")
+            traceback.print_exc(file=sys.stderr)
 
     if not best_rate:
         raise RuntimeError("no saturation engine succeeded")
@@ -1014,7 +1018,7 @@ def bench_pair():
 
     try:
         if len(workloads) > 1:
-            bench_pair_f64(workloads)
+            bench_pair_f64(workloads, seqs_tpu)
     except Exception:
         log("pair_f64 measurement FAILED (non-fatal)")
         traceback.print_exc(file=sys.stderr)
@@ -1188,14 +1192,20 @@ def bench_pair_exact(workloads, seqs_trie_cpu, cpu_full_s):
         f"min_ident={min(idents):.5f}")
 
 
-def bench_pair_f64(workloads):
-    """--f64 mitigation note (VERDICT r4 item 4b): pair 1 — the one
-    bundled pair whose f32 output misses the f64 windowed-memo oracle by
-    one indel (docs/EXACTNESS.md r5) — decoded in float64 via the XLA
-    engine on the HOST CPU (x64 isolated in a subprocess; f64-on-TPU is
-    emulated and reproducibly faults this dev chip's axon worker, same
-    fault class as the batched exact scan). Records whether f64 recovers
-    the oracle and the measured cost."""
+def bench_pair_f64(workloads, seqs_tpu=None):
+    """--f64 probe (VERDICT r4 item 4b): pair 1 — the one bundled pair
+    whose f32 output misses the f64 windowed-memo oracle by one indel
+    (docs/EXACTNESS.md r5) — decoded in float64 via the XLA engine on the
+    HOST CPU (x64 isolated in a subprocess; f64-on-TPU is emulated and
+    reproducibly faults this dev chip's axon worker, same fault class as
+    the batched exact scan). Measured r5 finding: f64 does NOT recover
+    the oracle — it reproduces the f32 engines' 6499-base output exactly,
+    so the indel is not precision but one internal beam decision that two
+    f64 implementations of the same windowed algorithm resolve
+    differently (docs/EXACTNESS.md r5; the oracle's pick scores 6.10 nats
+    better under the full-lattice joint objective, scratch/tie_gap.py).
+    The row classifies whatever it measures; `--exact` remains the
+    byte-parity mode (trie_match 5/5)."""
     import pickle
     import subprocess
 
@@ -1229,14 +1239,28 @@ print(json.dumps(dict(seq=s, warm_s=round(warm, 2),
     from poreover_tpu import native
 
     oracle = native.pair_beam_row_col_cpu_emul(*workloads[1], beam_width=5)
+    oracle_ok = info["seq"] == oracle
+    f32_ok = seqs_tpu is not None and info["seq"] == seqs_tpu[1]
+    if oracle_ok:
+        note = "--f64 CLI flag; f64 recovers the windowed-memo oracle"
+    elif f32_ok:
+        note = ("f64 reproduces the f32 engines' output, NOT the f64 "
+                "C++ oracle: the pair1 indel is a single internal beam "
+                "decision two f64 implementations resolve differently, "
+                "not f32 rounding (docs/EXACTNESS.md r5); --exact is "
+                "the byte-parity mode")
+    else:
+        note = ("f64 output matches neither the oracle nor the f32 "
+                "engines — unclassified, investigate")
     RESULTS["pair_f64"] = dict(
         engine="xla_planned_f64", pair="pair1 (the 1/5 oracle_exact miss)",
         backend=info["backend"], tpu_s=round(info["tpu_s"], 3),
-        oracle_exact="1/1" if info["seq"] == oracle else "0/1",
-        note="--f64 CLI flag; f64 DP removes the f32 tie-flip indel",
+        oracle_exact="1/1" if oracle_ok else "0/1",
+        matches_f32_engines="1/1" if f32_ok else "0/1",
+        note=note,
     )
     log(f"pair_f64: backend={info['backend']} {info['tpu_s']:.1f}s "
-        f"oracle_match={info['seq'] == oracle}")
+        f"oracle_match={oracle_ok} f32_engine_match={f32_ok}")
 
 
 # --------------------------------------------------------------------------

@@ -146,9 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_pair.add_argument(
         "--f64", action="store_true",
         help="run the pipeline in float64 on the host CPU (XLA engine) — "
-        "removes the rare f32 tie-flip indel (docs/EXACTNESS.md f32 "
-        "section); f64-on-TPU is emulated and faults this dev chip's "
-        "runtime, so the parity mode stays on host")
+        "a precision probe for near-tie positions (docs/EXACTNESS.md f32 "
+        "section; measured NOT sufficient for byte-parity at true ties — "
+        "use --exact for that); f64-on-TPU is emulated and faults this "
+        "dev chip's runtime, so the mode stays on host")
     p_pair.add_argument(
         "--beam_search_method",
         choices=["row", "row_col", "grid"],
